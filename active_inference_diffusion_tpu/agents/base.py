@@ -1,0 +1,177 @@
+"""Agent base: train state pytree, optimizer partitions, reward normalization.
+
+TPU-native counterpart of the reference's ``BaseActiveInferenceAgent``
+(reference: active_inference_diffusion/agents/base_agent.py:24-185). The agent
+object is a thin host-side shell; all training state is an explicit pytree
+(``AgentTrainState``) and every update is a pure jitted function.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..configs.config import ActiveInferenceConfig, TrainingConfig
+from ..core.active_inference import DiffusionActiveInference
+from ..core.time_sampler import init_time_importance
+from ..models.ema import init_ema
+
+Params = Dict[str, Any]
+
+
+class RewardNormState(struct.PyTreeNode):
+    """Welford-merged running mean/variance of rewards
+    (reference: agents/base_agent.py:24-52, RunningMeanStd)."""
+
+    mean: jnp.ndarray
+    var: jnp.ndarray
+    count: jnp.ndarray
+
+    @classmethod
+    def create(cls, epsilon: float = 1e-4) -> "RewardNormState":
+        return cls(
+            mean=jnp.zeros(()), var=jnp.ones(()), count=jnp.asarray(epsilon)
+        )
+
+    def update(self, x: jnp.ndarray) -> "RewardNormState":
+        batch_mean = jnp.mean(x)
+        batch_var = jnp.var(x)
+        batch_count = jnp.asarray(x.shape[0], self.count.dtype)
+        delta = batch_mean - self.mean
+        tot = self.count + batch_count
+        new_mean = self.mean + delta * batch_count / tot
+        m_a = self.var * self.count
+        m_b = batch_var * batch_count
+        m2 = m_a + m_b + delta**2 * self.count * batch_count / tot
+        return RewardNormState(mean=new_mean, var=m2 / tot, count=tot)
+
+    def normalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        return (x - self.mean) / jnp.sqrt(self.var + 1e-8)
+
+
+class AgentTrainState(struct.PyTreeNode):
+    """All mutable agent state as one pytree (checkpointable, donat-able)."""
+
+    step: jnp.ndarray  # scalar int32
+    params: Params
+    opt_states: Dict[str, Any]
+    ema_score: Any  # EMA shadow of params['score'] (reference base_agent.py:73-77)
+    time_importance: jnp.ndarray  # (100,) loss-aware time-sampling weights
+    epistemic_running_mean: jnp.ndarray  # MINE EMA state
+    reward_norm: RewardNormState
+    preference_temperature: jnp.ndarray
+    rng: jax.Array
+
+
+def make_optimizers(
+    config: ActiveInferenceConfig, partitions: Dict[str, List[str]]
+) -> Dict[str, optax.GradientTransformation]:
+    """Build one optimizer per parameter-group partition, mirroring the
+    reference's four AdamW optimizers + epistemic Adam
+    (reference: agents/state_agent.py:245-274, base_agent.py:134-139)."""
+    lr = config.learning_rate
+    clip = config.gradient_clip
+    opts: Dict[str, optax.GradientTransformation] = {}
+    for name in partitions:
+        if name == "score":
+            opts[name] = optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.adamw(lr, weight_decay=1e-5),
+            )
+        elif name == "policy":
+            opts[name] = optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.adamw(lr, weight_decay=1e-5),
+            )
+        elif name == "epistemic":
+            opts[name] = optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.adamw(lr * 0.1, weight_decay=1e-5),
+            )
+        else:  # value, model
+            opts[name] = optax.chain(
+                optax.clip_by_global_norm(clip),
+                optax.adamw(lr, weight_decay=0.0),
+            )
+    return opts
+
+
+def subset(params: Params, keys: List[str]) -> Params:
+    return {k: params[k] for k in keys}
+
+
+def merged(params: Params, sub: Params) -> Params:
+    out = dict(params)
+    out.update(sub)
+    return out
+
+
+class BaseAgent:
+    """Host-side shell shared by state and pixel agents."""
+
+    # Parameter groups per optimizer; subclasses override.
+    PARTITIONS: Dict[str, List[str]] = {}
+
+    def __init__(
+        self,
+        observation_dim: int,
+        action_dim: int,
+        config: ActiveInferenceConfig,
+        training_config: TrainingConfig,
+        pixel_shape: Optional[Tuple[int, int, int]] = None,
+    ):
+        self.config = config
+        self.training_config = training_config
+        self.observation_dim = observation_dim
+        self.action_dim = action_dim
+
+        self.core = DiffusionActiveInference(
+            observation_dim=observation_dim,
+            action_dim=action_dim,
+            latent_dim=config.latent_dim,
+            config=config,
+            pixel_shape=pixel_shape,
+        )
+        self.optimizers = make_optimizers(config, self.PARTITIONS)
+
+        # Host-side exploration schedule (reference base_agent.py:173-179)
+        self.exploration_noise = training_config.exploration_noise
+        self.total_steps = 0
+        self.episode_count = 0
+
+    # -- state ----------------------------------------------------------
+
+    def init_train_state(self, key: jax.Array) -> AgentTrainState:
+        param_key, extra_key, state_rng = jax.random.split(key, 3)
+        params = self.init_params(param_key, extra_key)
+        opt_states = {
+            name: self.optimizers[name].init(subset(params, self.PARTITIONS[name]))
+            for name in self.optimizers
+        }
+        return AgentTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_states=opt_states,
+            ema_score=init_ema(params["score"]),
+            time_importance=init_time_importance(),
+            epistemic_running_mean=jnp.zeros(()),
+            reward_norm=RewardNormState.create(),
+            preference_temperature=jnp.asarray(self.config.preference_temperature),
+            rng=state_rng,
+        )
+
+    def init_params(self, param_key: jax.Array, extra_key: jax.Array) -> Params:
+        return self.core.init_params(param_key)
+
+    # -- exploration (reference base_agent.py:173-179) -------------------
+
+    def update_exploration(self):
+        self.exploration_noise = max(
+            self.exploration_noise * self.training_config.exploration_decay,
+            self.training_config.min_exploration,
+        )

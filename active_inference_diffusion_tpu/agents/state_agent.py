@@ -1,0 +1,354 @@
+"""State-based diffusion active-inference agent with a single jitted train step.
+
+TPU-native counterpart of the reference's ``DiffusionStateAgent``
+(reference: active_inference_diffusion/agents/state_agent.py:17-274).
+
+The reference's training step launches three full reverse-diffusion sweeps,
+five optimizer steps, and O(B n^2) Python-loop lambda-returns per update
+(state_agent.py:110-243). Here the entire update — belief sweep (one batched
+sweep for obs and next_obs), score+model gradients (one fused backward; the
+parameter groups are block-diagonal so a single grad pass is exact), policy
+EFE gradients, value lambda-return regression, and the periodic epistemic MINE
+update — is ONE jitted XLA program with a donated train state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs.config import ActiveInferenceConfig, TrainingConfig
+from ..core.epistemic import estimate_epistemic_value
+from ..core.time_sampler import update_time_importance
+from ..models.ema import update_ema
+from ..models.policy import sample_action
+from .base import AgentTrainState, BaseAgent, merged, subset
+
+Params = Dict[str, Any]
+
+
+class DiffusionStateAgent(BaseAgent):
+    """Agent over raw MuJoCo state observations."""
+
+    PARTITIONS = {
+        # reference: agents/state_agent.py:245-274 + base_agent.py:134-139
+        "score": ["score", "diffusion"],
+        "policy": ["policy"],
+        "value": ["value"],
+        "model": ["dynamics", "decoder", "reward"],
+        "epistemic": ["epistemic"],
+    }
+
+    def __init__(
+        self,
+        observation_dim: int,
+        action_dim: int,
+        config: ActiveInferenceConfig,
+        training_config: TrainingConfig,
+    ):
+        super().__init__(observation_dim, action_dim, config, training_config)
+        donate = (0,) if config.tpu.donate_buffers else ()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
+        self._act = jax.jit(
+            self._act_impl, static_argnames=("deterministic", "num_steps")
+        )
+
+    # ------------------------------------------------------------------
+    # Action selection (reference state_agent.py:72-108)
+    # ------------------------------------------------------------------
+
+    def _act_impl(
+        self,
+        params: Params,
+        key: jax.Array,
+        observation: jnp.ndarray,
+        exploration_noise: jnp.ndarray,
+        deterministic: bool = False,
+        num_steps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        act_key, noise_key = jax.random.split(key)
+        action, _ = self.core.act(
+            params, act_key, observation,
+            deterministic=deterministic, num_steps=num_steps,
+        )
+        if not deterministic:
+            noise = (
+                jax.random.normal(noise_key, action.shape, dtype=action.dtype)
+                * exploration_noise
+            )
+            action = jnp.clip(action + noise, -1.0, 1.0)
+        return action
+
+    def act(
+        self,
+        state: AgentTrainState,
+        observation: np.ndarray,
+        key: jax.Array,
+        deterministic: bool = False,
+        collect: bool = True,
+    ) -> np.ndarray:
+        """Host entry point; batched observations (N, obs_dim) -> actions (N, A)."""
+        obs = jnp.asarray(observation, jnp.float32)
+        if obs.ndim == 1:
+            obs = obs[None]
+        num_steps = (
+            self.training_config.collect_diffusion_steps if collect else None
+        )
+        return np.asarray(
+            self._act(
+                state.params,
+                key,
+                obs,
+                jnp.asarray(self.exploration_noise, jnp.float32),
+                deterministic=deterministic,
+                num_steps=num_steps,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # Training step
+    # ------------------------------------------------------------------
+
+    def train_step(
+        self, state: AgentTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[AgentTrainState, Dict[str, jnp.ndarray]]:
+        state, metrics = self._train_step(state, batch)
+        self.total_steps += 1
+        return state, metrics
+
+    def _encode_batch(
+        self, params: Params, batch: Dict[str, jnp.ndarray], key: jax.Array
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Observation featurization hook; identity for state agents."""
+        del params, key
+        return batch["observations"], batch["next_observations"], {}
+
+    def _extra_score_loss(
+        self,
+        params: Params,
+        batch: Dict[str, jnp.ndarray],
+        enc_obs: jnp.ndarray,
+        enc_next_obs: jnp.ndarray,
+        latents: jnp.ndarray,
+        next_latents: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Hook for extra representation losses (pixel contrastive)."""
+        del params, batch, enc_obs, enc_next_obs, latents, next_latents
+        return jnp.zeros(()), {}
+
+    def _train_step_impl(
+        self, state: AgentTrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[AgentTrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.config
+        core = self.core
+        params = state.params
+
+        rng, belief_key, elbo_key, policy_key, value_key, epi_key, enc_key = (
+            jax.random.split(state.rng, 7)
+        )
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        # Reward normalization (reference state_agent.py:126-133; the reference
+        # round-trips through numpy on host — here it stays on device).
+        rewards = batch["rewards"]
+        new_reward_norm = state.reward_norm.update(rewards)
+        norm_rewards = new_reward_norm.normalize(rewards)
+
+        # Featurize observations (pixel agents encode; state agents pass through)
+        enc_obs, enc_next_obs, enc_aux = self._encode_batch(params, batch, enc_key)
+
+        # --- 1. Belief generation: ONE batched sweep for obs + next_obs
+        # (the reference runs three separate sweeps per train step,
+        # state_agent.py:134-140 and :195-197).
+        both = jnp.concatenate(
+            [jax.lax.stop_gradient(enc_obs), jax.lax.stop_gradient(enc_next_obs)], axis=0
+        )
+        belief = core.generate_beliefs(
+            jax.lax.stop_gradient(params), belief_key, both, compute_reconstruction=False
+        )
+        latents, next_latents = jnp.split(jax.lax.stop_gradient(belief.latent), 2, axis=0)
+
+        actions = batch["actions"]
+        dones = batch["dones"]
+
+        # --- 2. Fused score+diffusion and model (dynamics/decoder/reward)
+        # update. The two groups have block-diagonal loss dependence, so one
+        # grad pass computes both partitions exactly.
+        fused_groups = self.PARTITIONS["score"] + self.PARTITIONS["model"]
+
+        def fused_loss_fn(sub: Params):
+            p = merged(params, sub)
+            terms = core.elbo_terms(
+                p, elbo_key, jax.lax.stop_gradient(enc_obs), norm_rewards, latents,
+                state.time_importance, train=True,
+            )
+            score_loss = core.assemble_score_loss(terms)
+
+            extra_loss, extra_info = self._extra_score_loss(
+                p, batch, enc_obs, enc_next_obs, latents, next_latents
+            )
+
+            pred_next, _ = core.predict_next_latent(p["dynamics"], latents, actions)
+            dynamics_loss = jnp.mean((pred_next - next_latents) ** 2)
+            model_loss = core.assemble_model_loss(terms, dynamics_loss)
+
+            total = score_loss + extra_loss + model_loss
+            aux = (terms, dynamics_loss, extra_info)
+            return total, aux
+
+        (fused_loss, (terms, dynamics_loss, extra_info)), fused_grads = (
+            jax.value_and_grad(fused_loss_fn, has_aux=True)(subset(params, fused_groups))
+        )
+
+        new_params = dict(params)
+        new_opt_states = dict(state.opt_states)
+        for name in ("score", "model"):
+            group_keys = self.PARTITIONS[name]
+            g = {k: fused_grads[k] for k in group_keys}
+            sub_params = subset(params, group_keys)
+            updates, new_opt_states[name] = self.optimizers[name].update(
+                g, state.opt_states[name], sub_params
+            )
+            new_sub = optax.apply_updates(sub_params, updates)
+            new_params.update(new_sub)
+
+        new_ema = update_ema(state.ema_score, new_params["score"], cfg.ema_decay)
+        new_time_importance = update_time_importance(
+            state.time_importance,
+            terms["t"],
+            jax.lax.stop_gradient(terms["per_sample_score_losses"]),
+        )
+
+        metrics.update(
+            reconstruction_loss=terms["reconstruction_loss"],
+            kl_loss=terms["kl_loss"],
+            score_matching_loss=terms["score_matching_loss"],
+            grad_penalty=terms["grad_penalty"],
+            reward_loss=terms["reward_loss"],
+            elbo=core.elbo_value(terms),
+            mean_time=terms["mean_time"],
+            loss_weight_mean=terms["loss_weight_mean"],
+            dynamics_loss=dynamics_loss,
+            **extra_info,
+        )
+
+        # --- 3. Policy update on mean EFE (reference state_agent.py:161-180)
+        def policy_loss_fn(sub: Params):
+            p = merged(new_params, sub)
+            efe, efe_info = core.compute_expected_free_energy(
+                p, latents, policy_key, state.preference_temperature,
+                state.epistemic_running_mean,
+            )
+            return jnp.mean(efe), efe_info
+
+        (policy_loss, efe_info), policy_grads = jax.value_and_grad(
+            policy_loss_fn, has_aux=True
+        )(subset(new_params, self.PARTITIONS["policy"]))
+        updates, new_opt_states["policy"] = self.optimizers["policy"].update(
+            policy_grads,
+            state.opt_states["policy"],
+            subset(new_params, self.PARTITIONS["policy"]),
+        )
+        new_params.update(
+            optax.apply_updates(subset(new_params, self.PARTITIONS["policy"]), updates)
+        )
+        metrics["policy_loss"] = policy_loss
+        metrics.update(efe_info)
+
+        # --- 4. Value update toward lambda-return targets
+        # (reference state_agent.py:183-215). next_latents are reused instead
+        # of re-running a third diffusion sweep (distribution-identical).
+        b = latents.shape[0]
+        t_now = jnp.zeros((b,), latents.dtype)
+        t_next = jnp.ones((b,), latents.dtype)
+        next_values = jax.lax.stop_gradient(
+            core.apply_value(new_params["value"], next_latents, t_next)
+        )
+        cur_values = jax.lax.stop_gradient(
+            core.apply_value(new_params["value"], latents, t_now)
+        )
+        targets = jax.lax.stop_gradient(
+            core.lambda_returns(norm_rewards, cur_values, next_values, dones)
+        )
+
+        def value_loss_fn(sub: Params):
+            v = core.apply_value(sub["value"], latents, t_now)
+            return jnp.mean(optax.huber_loss(v, targets))
+
+        value_loss, value_grads = jax.value_and_grad(value_loss_fn)(
+            subset(new_params, self.PARTITIONS["value"])
+        )
+        updates, new_opt_states["value"] = self.optimizers["value"].update(
+            value_grads,
+            state.opt_states["value"],
+            subset(new_params, self.PARTITIONS["value"]),
+        )
+        new_params.update(
+            optax.apply_updates(subset(new_params, self.PARTITIONS["value"]), updates)
+        )
+        metrics["value_loss"] = value_loss
+
+        # --- 5. Epistemic MINE update every N steps
+        # (reference state_agent.py:217-222, core/active_inference.py:420-445)
+        def decoder_fn(z):
+            return core.decode_observation(
+                jax.tree_util.tree_map(jax.lax.stop_gradient, new_params),
+                z, decode_to_pixels=True, train=False,
+            )
+
+        next_mean, next_logvar = core.predict_next_latent(
+            jax.lax.stop_gradient(new_params["dynamics"]), latents, actions
+        )
+
+        def epistemic_update(operand):
+            epi_params, opt_state, running_mean = operand
+
+            def epi_loss_fn(ep):
+                result = estimate_epistemic_value(
+                    core.epistemic_estimator, ep["epistemic"], decoder_fn,
+                    next_mean, next_logvar, epi_key, running_mean,
+                    num_samples=5, train=True,
+                )
+                return -result.mi_lower_bound, result
+
+            (neg_mi, result), g = jax.value_and_grad(epi_loss_fn, has_aux=True)(
+                epi_params
+            )
+            upd, new_opt = self.optimizers["epistemic"].update(
+                g, opt_state, epi_params
+            )
+            new_epi = optax.apply_updates(epi_params, upd)
+            return new_epi, new_opt, result.running_mean, -neg_mi
+
+        def epistemic_skip(operand):
+            epi_params, opt_state, running_mean = operand
+            return epi_params, opt_state, running_mean, jnp.zeros(())
+
+        do_epi = (state.step % cfg.epistemic_update_every) == 0
+        epi_operand = (
+            subset(new_params, self.PARTITIONS["epistemic"]),
+            state.opt_states["epistemic"],
+            state.epistemic_running_mean,
+        )
+        new_epi_params, new_opt_states["epistemic"], new_running_mean, epistemic_mi = (
+            jax.lax.cond(do_epi, epistemic_update, epistemic_skip, epi_operand)
+        )
+        new_params.update(new_epi_params)
+        metrics["epistemic_mi"] = epistemic_mi
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_states=new_opt_states,
+            ema_score=new_ema,
+            time_importance=new_time_importance,
+            epistemic_running_mean=new_running_mean,
+            reward_norm=new_reward_norm,
+            rng=rng,
+        )
+        return new_state, metrics

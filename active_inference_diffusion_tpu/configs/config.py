@@ -1,0 +1,269 @@
+"""Configuration dataclasses for the TPU-native active-inference-diffusion framework.
+
+Mirrors the reference schema (reference: active_inference_diffusion/configs/config.py:10-126)
+so a user of the PyTorch framework finds the same knobs, plus TPU-specific additions
+(`TpuConfig`) and semantics flags (`SemanticsConfig`) that gate corrected-vs-faithful
+behavior for the reference quirks documented in DEVIATIONS.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass
+class DiffusionConfig:
+    """Diffusion process configuration (reference: configs/config.py:10-22)."""
+
+    num_diffusion_steps: int = 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    beta_schedule: str = "cosine"  # "cosine" | "linear"
+    prediction_type: str = "score"
+    use_continuous_time: bool = True
+    time_annealing_start: float = 1.0
+    time_annealing_end: float = 0.1
+    annealing_steps: int = 100_000
+    gradient_clip_val: float = 0.1
+
+
+@dataclass
+class BeliefDynamicsConfig:
+    """Fokker-Planck belief dynamics configuration (reference: configs/config.py:24-35)."""
+
+    use_belief_dynamics: bool = True
+    belief_dim: int = 50
+    diffusion_coefficient: float = 0.1
+    learning_rate: float = 0.1
+    dt: float = 0.01
+    min_variance: float = 1e-6
+    max_variance: float = 10.0
+    use_full_covariance: bool = False
+    noise_scale: float = 0.01
+
+
+@dataclass
+class SemanticsConfig:
+    """Flags selecting corrected vs reference-faithful semantics.
+
+    The reference has several quirks (see DEVIATIONS.md). ``corrected`` (default)
+    implements the evidently intended behavior; ``faithful`` replicates the
+    reference's literal computation.
+
+    - ``pragmatic_sign``: the reference ADDS the pragmatic (reward + value) term to
+      the minimized EFE (reference: core/active_inference.py:369-375), so the policy
+      is trained to minimize expected reward. corrected uses -1 (seek reward).
+    - ``double_pragmatic_weight``: the reference applies ``pragmatic_weight`` twice
+      (core/active_inference.py:353 and :371).
+    - ``train_decoder_and_reward``: the reference's optimizer zero_grad ordering
+      wipes decoder/reward-predictor gradients before their step, so they are
+      never trained (agents/state_agent.py:225 after :151). corrected trains them.
+    - ``deterministic_eval``: the reference evaluates with a stochastic policy
+      (utils/training.py:47).
+    """
+
+    mode: str = "corrected"  # "corrected" | "faithful"
+
+    @property
+    def pragmatic_sign(self) -> float:
+        return 1.0 if self.mode == "faithful" else -1.0
+
+    @property
+    def double_pragmatic_weight(self) -> bool:
+        return self.mode == "faithful"
+
+    @property
+    def train_decoder_and_reward(self) -> bool:
+        return self.mode != "faithful"
+
+    @property
+    def deterministic_eval(self) -> bool:
+        return self.mode != "faithful"
+
+
+@dataclass
+class TpuConfig:
+    """TPU execution configuration (new; no reference equivalent)."""
+
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" for matmul inputs
+    use_pallas_denoiser: bool = False  # fused Pallas K-step denoiser (ops/denoise.py)
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axis_names: Tuple[str, ...] = ("dp",)
+    donate_buffers: bool = True
+    remat_score_network: bool = False  # jax.checkpoint the score net in the ELBO
+
+
+@dataclass
+class ActiveInferenceConfig:
+    """Main agent configuration (reference: configs/config.py:37-86)."""
+
+    # Environment
+    env_name: str = "HalfCheetah-v4"
+    observation_dim: int = 17
+    action_dim: int = 6
+
+    # Active inference parameters
+    precision_init: float = 1.0
+    expected_free_energy_horizon: int = 5
+    efe_horizon: int = 5
+    num_efe_trajectories: int = 10
+    num_ambiguity_samples: int = 10
+    epistemic_weight: float = 0.1
+    extrinsic_weight: float = 1.0
+    pragmatic_weight: float = 1.0
+    consistency_weight: float = 0.1
+    discount_factor: float = 0.99
+    contrastive_weight: float = 0.5
+    lambda_return: float = 0.95
+    lambda_n_steps: int = 5
+
+    # Diffusion integration
+    kl_weight: float = 0.1
+    diffusion_weight: float = 1.0
+    reward_weight: float = 0.5
+    grad_penalty_weight: float = 0.1
+
+    # Model architecture
+    hidden_dim: int = 512
+    latent_dim: int = 128
+    spatial_aggregator_output_dim: int = 256
+    num_layers: int = 3
+    score_num_layers: int = 6
+    pixel_observation: bool = False
+
+    # Training
+    batch_size: int = 256
+    learning_rate: float = 5e-5
+    gradient_clip: float = 0.5
+    score_gradient_clip: float = 0.1
+    ema_decay: float = 0.9999
+    epistemic_update_every: int = 5
+
+    # Reward-oriented active inference
+    preference_temperature: float = 1.0
+    preference_learning_rate: float = 0.01
+    min_preference_temperature: float = 0.1
+    max_preference_temperature: float = 10.0
+    temperature_decay: float = 0.995
+    use_reward_preferences: bool = True
+    baseline_reward: float = 0.0
+    preference_momentum: float = 0.9
+
+    # Nested configs
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    belief_dynamics: BeliefDynamicsConfig = field(default_factory=BeliefDynamicsConfig)
+    semantics: SemanticsConfig = field(default_factory=SemanticsConfig)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+
+    # Accepted for schema compatibility with the reference; device placement is
+    # managed by JAX (jax.devices()), not this field.
+    device: str = "tpu"
+
+
+@dataclass
+class PixelObservationConfig:
+    """Pixel observation configuration (reference: configs/config.py:88-97)."""
+
+    image_shape: Tuple[int, int, int] = (3, 84, 84)
+    frame_stack: int = 3
+    encoder_type: str = "drqv2"  # drqv2 | state | multiview
+    encoder_feature_dim: int = 80
+    augmentation: bool = True
+    random_shift_pad: int = 4
+    pixel_observation: bool = True
+
+
+@dataclass
+class TrainingConfig:
+    """Training loop configuration (reference: configs/config.py:100-126)."""
+
+    total_timesteps: int = 1_000_000
+    eval_frequency: int = 5_000
+    save_frequency: int = 50_000
+    log_frequency: int = 1_000
+
+    exploration_noise: float = 0.1
+    exploration_decay: float = 0.999
+    min_exploration: float = 0.01
+
+    buffer_size: int = 100_000
+    learning_starts: int = 5_000
+    train_frequency: int = 2
+    gradient_steps: int = 4
+    num_parallel_envs: int = 6
+    num_eval_episodes: int = 10
+    # Reverse-diffusion steps used at collection time (reference entry point
+    # passes 20 on a 25-step schedule, examples/train_mujoco.py:221); None
+    # runs the full schedule.
+    collect_diffusion_steps: Optional[int] = None
+
+    use_wandb: bool = False
+    project_name: str = "active-inference-diffusion-tpu"
+    experiment_name: Optional[str] = None
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    resume: Optional[str] = None
+
+
+def _update_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
+    """Recursively update a dataclass instance from a nested dict."""
+    for key, value in data.items():
+        if not hasattr(obj, key):
+            raise KeyError(
+                f"Unknown config field '{key}' for {type(obj).__name__}"
+            )
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _update_dataclass(current, value)
+        elif isinstance(current, tuple) and isinstance(value, list):
+            setattr(obj, key, tuple(value))
+        else:
+            setattr(obj, key, value)
+    return obj
+
+
+def config_to_dict(obj: Any) -> Any:
+    """Convert a (possibly nested) config dataclass to plain dicts for logging."""
+    if dataclasses.is_dataclass(obj):
+        return {
+            f.name: config_to_dict(getattr(obj, f.name)) for f in dataclasses.fields(obj)
+        }
+    if isinstance(obj, (list, tuple)):
+        return [config_to_dict(v) for v in obj]
+    return obj
+
+
+def load_yaml_config(
+    path: str,
+) -> Tuple[ActiveInferenceConfig, TrainingConfig, Optional[PixelObservationConfig]]:
+    """Load configs from a YAML file.
+
+    Closes a capability gap in the reference: YAML files exist in the reference's
+    examples/configs/ but are never loaded by any code path (reference:
+    examples/train_mujoco.py:443-456 has no --config flag). Schema uses the same
+    section names: ``active_inference:``, ``pixel:``, ``training:``.
+    """
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+
+    ai_config = ActiveInferenceConfig()
+    training_config = TrainingConfig()
+    pixel_config: Optional[PixelObservationConfig] = None
+
+    if "active_inference" in data:
+        _update_dataclass(ai_config, data["active_inference"])
+    if "diffusion" in data:  # allow top-level diffusion section too
+        _update_dataclass(ai_config.diffusion, data["diffusion"])
+    if "training" in data:
+        _update_dataclass(training_config, data["training"])
+    if "pixel" in data:
+        pixel_config = PixelObservationConfig()
+        _update_dataclass(pixel_config, data["pixel"])
+        ai_config.pixel_observation = pixel_config.pixel_observation
+
+    return ai_config, training_config, pixel_config

@@ -1,0 +1,631 @@
+"""Diffusion active inference core: belief generation, ELBO, EFE.
+
+TPU-native counterpart of the reference's ``DiffusionActiveInference``
+(reference: active_inference_diffusion/core/active_inference.py:19-771), built
+as a *stateless orchestrator*: module definitions + static config live on the
+object, every method is a pure function of an explicit parameter pytree and
+PRNG keys, so everything composes with jit/grad/vmap/pjit.
+
+Major structural differences (design, not translation):
+
+- Belief generation is one ``lax.scan`` sweep (core/diffusion.py here), not a
+  Python loop of K kernel launches.
+- The EFE imagination rollout folds (num_trajectories x batch) into one batch
+  axis and scans over the horizon (the reference runs 10 x 5 sequential Python
+  iterations, reference :337-380).
+- Gradient partitioning is expressed by taking ``jax.grad`` w.r.t. explicit
+  parameter groups instead of optimizer ``zero_grad`` choreography.
+- Sign/weighting quirks of the reference are gated by ``SemanticsConfig``
+  (see DEVIATIONS.md): the reference's published loss *maximizes* the
+  score-matching term (reference :620-636 returns -elbo with score matching
+  entering the elbo positively), never trains decoder/reward predictor, and
+  *minimizes* expected reward in the EFE (:353-375).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.config import ActiveInferenceConfig
+from ..models.decoders import FeatureDecoder, RewardPredictor, StateDecoder, reward_log_prob
+from ..models.dynamics import LatentDynamicsModel
+from ..models.encoders import ConvDecoder, nchw_to_nhwc
+from ..models.policy import DiffusionConditionedPolicy, PolicyDist, sample_action
+from ..models.score_network import LatentScoreNetwork
+from ..models.value import ValueNetwork
+from . import diffusion as dproc
+from .epistemic import FunctionSpaceEpistemicEstimator, estimate_epistemic_value
+from .returns import compute_lambda_returns
+from .schedules import DiffusionSchedule, schedule_from_config
+from .time_sampler import importance_sample_time
+
+Params = Dict[str, Any]
+
+LOG_DYNAMICS_VAR = float(np.log(0.1))  # fixed next-latent logvar (reference :463)
+
+
+class BeliefInfo(NamedTuple):
+    latent: jnp.ndarray  # (B, D)
+    latent_mean: jnp.ndarray  # (D,)
+    latent_std: jnp.ndarray  # (D,)
+    reconstruction_error: jnp.ndarray  # scalar
+    trajectory: Optional[jnp.ndarray]  # (K+1, B, D) when requested
+
+
+class DiffusionActiveInference:
+    """Static model container; all methods are pure functions of params."""
+
+    def __init__(
+        self,
+        observation_dim: int,
+        action_dim: int,
+        latent_dim: int,
+        config: ActiveInferenceConfig,
+        pixel_shape: Optional[Tuple[int, int, int]] = None,
+    ):
+        self.observation_dim = observation_dim
+        self.action_dim = action_dim
+        self.latent_dim = latent_dim
+        self.config = config
+        self.pixel_shape = pixel_shape  # (C, H, W) like the reference
+        self.is_pixel = config.pixel_observation
+
+        self.schedule: DiffusionSchedule = schedule_from_config(config.diffusion)
+
+        # --- module definitions (reference _build_models, :59-171) ---
+        self.score_network = LatentScoreNetwork(
+            latent_dim=latent_dim,
+            observation_dim=latent_dim if self.is_pixel else observation_dim,
+            hidden_dim=config.hidden_dim,
+            num_layers=config.score_num_layers,
+            use_attention=True,
+        )
+        self.policy_network = DiffusionConditionedPolicy(
+            latent_dim=latent_dim,
+            action_dim=action_dim,
+            hidden_dim=config.hidden_dim,
+            use_state_dependent_std=True,
+        )
+        self.value_network = ValueNetwork(
+            state_dim=latent_dim,
+            hidden_dim=config.hidden_dim,
+            time_embed_dim=128,
+            num_layers=3,
+        )
+        self.latent_dynamics = LatentDynamicsModel(
+            state_dim=latent_dim,
+            action_dim=action_dim,
+            hidden_dim=config.hidden_dim,
+            num_layers=3,
+        )
+        if self.is_pixel:
+            assert pixel_shape is not None
+            self.observation_decoder = ConvDecoder(
+                latent_dim=latent_dim,
+                img_channels=pixel_shape[0],
+                hidden_dim=config.hidden_dim,
+                spatial_size=21,
+            )
+            self.feature_decoder = FeatureDecoder(
+                latent_dim=latent_dim, hidden_dim=config.hidden_dim
+            )
+        else:
+            self.observation_decoder = StateDecoder(
+                observation_dim=observation_dim, hidden_dim=config.hidden_dim
+            )
+            self.feature_decoder = None
+        self.reward_predictor = RewardPredictor(hidden_dim=config.hidden_dim)
+        self.epistemic_estimator = FunctionSpaceEpistemicEstimator(
+            latent_dim=latent_dim,
+            is_pixel=self.is_pixel,
+            ntk_samples=4,
+            spatial_aggregator_output_dim=config.spatial_aggregator_output_dim,
+        )
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> Params:
+        """Initialize all parameter groups. Group boundaries mirror the
+        reference's optimizer partitions (agents/state_agent.py:245-274)."""
+        keys = jax.random.split(key, 8)
+        obs_dim = self.latent_dim if self.is_pixel else self.observation_dim
+        dummy_obs = jnp.zeros((1, obs_dim))
+        dummy_z = jnp.zeros((1, self.latent_dim))
+        dummy_t = jnp.zeros((1,))
+        dummy_a = jnp.zeros((1, self.action_dim))
+
+        score = self.score_network.init(
+            keys[0], dummy_z, dummy_t, dummy_obs, continuous=True, train=False
+        )["params"]
+        diffusion = dproc.init_diffusion_params(self.latent_dim)
+        policy = self.policy_network.init(keys[1], dummy_z)["params"]
+        value = self.value_network.init(keys[2], dummy_z, dummy_t)["params"]
+        dynamics = self.latent_dynamics.init(keys[3], dummy_z, dummy_a)["params"]
+        decoder = self.observation_decoder.init(keys[4], dummy_z, train=False)["params"]
+        reward = self.reward_predictor.init(keys[5], dummy_z)["params"]
+
+        # Epistemic estimator init needs probe shapes
+        obs_event_shape = (
+            tuple(np.roll(self.pixel_shape, -1)) if self.is_pixel else (self.observation_dim,)
+        )
+        ntk = self.epistemic_estimator.ntk_samples
+        dummy_probes = jnp.zeros((ntk, 2) + obs_event_shape)
+        dummy_perm = jnp.arange(2)
+        epistemic = self.epistemic_estimator.init(
+            keys[6], dummy_probes, jnp.zeros((2, self.latent_dim)), dummy_perm, train=False
+        )
+
+        params: Params = {
+            "score": score,
+            "diffusion": diffusion,
+            "policy": policy,
+            "value": value,
+            "dynamics": dynamics,
+            "decoder": decoder,
+            "reward": reward,
+            "epistemic": epistemic,  # full variables dict ({'params': ...})
+        }
+        if self.is_pixel:
+            params["feature_decoder"] = self.feature_decoder.init(
+                keys[7], dummy_z, train=False
+            )["params"]
+        return params
+
+    # ------------------------------------------------------------------
+    # Model applications
+    # ------------------------------------------------------------------
+
+    def apply_score(
+        self,
+        score_params,
+        z: jnp.ndarray,
+        t: jnp.ndarray,
+        observation: Optional[jnp.ndarray],
+        continuous: bool,
+        train: bool = False,
+        dropout_key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        rngs = {"dropout": dropout_key} if (train and dropout_key is not None) else {}
+        return self.score_network.apply(
+            {"params": score_params}, z, t, observation,
+            continuous=continuous, train=train, rngs=rngs,
+        )
+
+    def apply_policy(self, policy_params, z: jnp.ndarray) -> PolicyDist:
+        return self.policy_network.apply({"params": policy_params}, z)
+
+    def apply_value(self, value_params, z: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        return self.value_network.apply({"params": value_params}, z, t)[..., 0]
+
+    def predict_next_latent(
+        self, dynamics_params, latent: jnp.ndarray, action: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Residual dynamics with fixed logvar (reference :453-464)."""
+        next_mean = self.latent_dynamics.apply({"params": dynamics_params}, latent, action)
+        next_logvar = jnp.full_like(next_mean, LOG_DYNAMICS_VAR)
+        return next_mean, next_logvar
+
+    def predict_reward(self, reward_params, latent: jnp.ndarray):
+        return self.reward_predictor.apply({"params": reward_params}, latent)
+
+    def decode_observation(
+        self,
+        params: Params,
+        latent: jnp.ndarray,
+        decode_to_pixels: bool = True,
+        train: bool = False,
+        dropout_key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Decode latent to observation space (reference :217-242)."""
+        rngs = {"dropout": dropout_key} if (train and dropout_key is not None) else {}
+        if self.is_pixel:
+            if decode_to_pixels:
+                return self.observation_decoder.apply(
+                    {"params": params["decoder"]}, latent, train=train, rngs=rngs
+                )
+            return self.feature_decoder.apply(
+                {"params": params["feature_decoder"]}, latent, train=train, rngs=rngs
+            )
+        return self.observation_decoder.apply(
+            {"params": params["decoder"]}, latent, train=train, rngs=rngs
+        )
+
+    # ------------------------------------------------------------------
+    # Belief generation via reverse diffusion (reference :256-312)
+    # ------------------------------------------------------------------
+
+    def generate_beliefs(
+        self,
+        params: Params,
+        key: jax.Array,
+        observation: jnp.ndarray,
+        num_steps: Optional[int] = None,
+        deterministic: bool = False,
+        return_trajectory: bool = False,
+        compute_reconstruction: bool = True,
+    ) -> BeliefInfo:
+        """Run the reverse-diffusion sweep conditioned on observations and
+        return the final latent belief plus diagnostics."""
+        batch_size = observation.shape[0]
+
+        def score_fn(z, t, obs):
+            return self.apply_score(
+                params["score"], z, t, obs, continuous=False, train=False
+            )
+
+        result = dproc.generate_latents(
+            self.schedule,
+            score_fn,
+            key,
+            batch_size,
+            self.latent_dim,
+            observation=observation,
+            num_steps=num_steps,
+            deterministic=deterministic,
+            return_trajectory=return_trajectory,
+            dtype=observation.dtype,
+        )
+        latent = result.latent
+
+        latent_mean = jnp.mean(latent, axis=0)
+        latent_std = jnp.where(
+            batch_size > 1, jnp.std(latent, axis=0, ddof=1), jnp.zeros_like(latent_mean)
+        )
+
+        if compute_reconstruction:
+            decoded = self.decode_observation(
+                params, latent, decode_to_pixels=False if self.is_pixel else True
+            )
+            reconstruction_error = jnp.mean((decoded - observation) ** 2)
+        else:
+            reconstruction_error = jnp.zeros((), dtype=latent.dtype)
+
+        return BeliefInfo(
+            latent=latent,
+            latent_mean=latent_mean,
+            latent_std=latent_std,
+            reconstruction_error=reconstruction_error,
+            trajectory=result.trajectory,
+        )
+
+    # ------------------------------------------------------------------
+    # Expected free energy over imagined rollouts (reference :314-396)
+    # ------------------------------------------------------------------
+
+    def compute_expected_free_energy(
+        self,
+        params: Params,
+        latent: jnp.ndarray,
+        key: jax.Array,
+        preference_temperature: jnp.ndarray,
+        epistemic_running_mean: Optional[jnp.ndarray] = None,
+        horizon: Optional[int] = None,
+        num_trajectories: Optional[int] = None,
+        include_epistemic: Optional[bool] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """G(pi) accumulated over imagined latent trajectories.
+
+        The (num_trajectories, batch) axes are folded into one batch of size
+        T*B and the horizon is a single ``lax.scan``. Per-step terms match the
+        reference: pragmatic = w_p * r(z')/tau + V(z', t), consistency =
+        -entropy(pi), epistemic = MINE estimate (constant w.r.t. policy
+        parameters in the reference too, since it is computed under no_grad,
+        reference :410-416).
+
+        In corrected mode the pragmatic term enters with a negative sign so
+        minimizing EFE seeks reward (see SemanticsConfig).
+        """
+        cfg = self.config
+        horizon = cfg.efe_horizon if horizon is None else horizon
+        num_traj = cfg.num_efe_trajectories if num_trajectories is None else num_trajectories
+        if include_epistemic is None:
+            # Epistemic term has zero policy gradient (stop-gradient island);
+            # corrected mode skips computing it here for speed.
+            include_epistemic = cfg.semantics.mode == "faithful" and cfg.epistemic_weight != 0.0
+
+        batch_size = latent.shape[0]
+        n = num_traj * batch_size
+        z0 = jnp.tile(latent, (num_traj, 1))  # (T*B, D)
+
+        prag_sign = cfg.semantics.pragmatic_sign
+        prag_w = cfg.pragmatic_weight
+        double_w = cfg.semantics.double_pragmatic_weight
+
+        def decoder_fn(z):
+            # Epistemic probes go through the decoder in eval mode
+            # (reference :948-957), with stopped gradients.
+            return self.decode_observation(
+                jax.tree_util.tree_map(jax.lax.stop_gradient, params),
+                z,
+                decode_to_pixels=True,
+                train=False,
+            )
+
+        def step(carry, inputs):
+            z, rm = carry
+            t_idx, step_key = inputs
+            pol_key, dyn_key, epi_key = jax.random.split(step_key, 3)
+
+            dist = self.apply_policy(params["policy"], z)
+            action, log_prob = sample_action(dist, pol_key)
+
+            next_mean, next_logvar = self.predict_next_latent(
+                params["dynamics"], z, action
+            )
+            eps = jax.random.normal(dyn_key, next_mean.shape, dtype=next_mean.dtype)
+            next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
+
+            reward_mean, _ = self.predict_reward(params["reward"], next_z)
+            pragmatic = prag_w * (reward_mean / preference_temperature)
+            t_batch = jnp.full((n,), t_idx, dtype=z.dtype)
+            value = self.apply_value(params["value"], next_z, t_batch)
+            pragmatic = pragmatic + value
+
+            consistency = -dist.entropy()
+
+            if include_epistemic:
+                result = estimate_epistemic_value(
+                    self.epistemic_estimator,
+                    jax.lax.stop_gradient(params["epistemic"]),
+                    decoder_fn,
+                    jax.lax.stop_gradient(next_mean),
+                    jax.lax.stop_gradient(next_logvar),
+                    epi_key,
+                    rm,
+                    num_samples=cfg.num_ambiguity_samples,
+                    train=False,
+                )
+                epistemic = jax.lax.stop_gradient(result.value)
+                rm = result.running_mean
+            else:
+                epistemic = jnp.zeros((n,), dtype=z.dtype)
+
+            step_efe = (
+                cfg.epistemic_weight * epistemic
+                + prag_sign * (prag_w if double_w else 1.0) * pragmatic
+                + cfg.consistency_weight * consistency
+            )
+            discount = cfg.discount_factor ** t_idx
+            metrics = (
+                jnp.mean(epistemic),
+                jnp.mean(pragmatic),
+                jnp.mean(consistency),
+            )
+            return (next_z, rm), (discount * step_efe, metrics)
+
+        rm0 = (
+            epistemic_running_mean
+            if epistemic_running_mean is not None
+            else jnp.zeros((), dtype=latent.dtype)
+        )
+        t_indices = jnp.arange(horizon, dtype=latent.dtype)
+        step_keys = jax.random.split(key, horizon)
+        (_, _), (step_efes, metrics) = jax.lax.scan(
+            step, (z0, rm0), (t_indices, step_keys)
+        )
+
+        # (H, T*B) -> per-original-batch EFE averaged over trajectories
+        total = jnp.sum(step_efes, axis=0).reshape(num_traj, batch_size)
+        efe = jnp.mean(total, axis=0)
+
+        epi_m, prag_m, cons_m = metrics
+        info = {
+            "efe/epistemic_mean": jnp.mean(epi_m),
+            "efe/pragmatic_mean": jnp.mean(prag_m),
+            "efe/consistency_mean": jnp.mean(cons_m),
+        }
+        return efe, info
+
+    # ------------------------------------------------------------------
+    # Diffusion ELBO (reference :533-636)
+    # ------------------------------------------------------------------
+
+    def elbo_terms(
+        self,
+        params: Params,
+        key: jax.Array,
+        observations: jnp.ndarray,
+        rewards: jnp.ndarray,
+        latents: jnp.ndarray,
+        time_importance: jnp.ndarray,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Compute all ELBO components once; callers assemble per-group losses.
+
+        Returns a dict with scalar terms plus ``per_sample_score_losses`` and
+        the sampled times ``t`` (for the importance-sampler update).
+        """
+        batch_size = observations.shape[0]
+        t_key, noise_key, prior_key, drop1, drop2 = jax.random.split(key, 5)
+
+        # Reconstruction (reference :559-566)
+        decoded = self.decode_observation(
+            params,
+            latents,
+            decode_to_pixels=False if self.is_pixel else True,
+            train=train,
+            dropout_key=drop1,
+        )
+        reconstruction_loss = jnp.mean((decoded - observations) ** 2)
+
+        # Importance-sampled continuous time (reference :571-577)
+        t = importance_sample_time(time_importance, t_key, batch_size)
+
+        noise = jax.random.normal(noise_key, latents.shape, dtype=latents.dtype)
+        noisy_latents, qinfo = dproc.continuous_q_sample(
+            params["diffusion"], latents, t, noise
+        )
+
+        def score_at(z):
+            return self.apply_score(
+                params["score"], z, t, observations,
+                continuous=True, train=train, dropout_key=drop2,
+            )
+
+        predicted_score = score_at(noisy_latents)
+        true_score = -noise / (qinfo["sigma"] + 1e-8)
+        loss_weight = dproc.compute_loss_weight(params["diffusion"], t)
+        score_diff = predicted_score - true_score
+        per_sample = loss_weight * jnp.sum(score_diff**2, axis=1)
+        score_matching_loss = jnp.mean(per_sample)
+
+        # Gradient penalty: ||d(sum score)/dz||_2 -> 1 (reference :709-729)
+        grads = jax.grad(lambda z: jnp.sum(score_at(z)))(
+            jax.lax.stop_gradient(noisy_latents)
+        )
+        # epsilon inside the sqrt: the score net is zero-initialized, and the
+        # exact norm has a NaN gradient at 0
+        grad_norm = jnp.sqrt(jnp.sum(grads**2, axis=1) + 1e-12)
+        grad_penalty = jnp.mean((grad_norm - 1.0) ** 2)
+
+        # KL to learned prior with time annealing (reference :609-611)
+        prior_latents = dproc.sample_latent_prior(
+            params["diffusion"], prior_key, batch_size
+        )
+        kl_loss = jnp.mean(0.5 * jnp.sum((latents - prior_latents) ** 2, axis=-1))
+        kl_anneal = jnp.exp(-5.0 * jnp.mean(t))
+
+        # Reward prediction NLL (reference :613-618)
+        reward_mean, reward_std = self.predict_reward(params["reward"], latents)
+        reward_loss = -jnp.mean(reward_log_prob(reward_mean, reward_std, rewards))
+
+        return {
+            "reconstruction_loss": reconstruction_loss,
+            "score_matching_loss": score_matching_loss,
+            "per_sample_score_losses": per_sample,
+            "grad_penalty": grad_penalty,
+            "kl_loss": kl_loss,
+            "kl_anneal": kl_anneal,
+            "reward_loss": reward_loss,
+            "t": t,
+            "mean_time": jnp.mean(t),
+            "loss_weight_mean": jnp.mean(loss_weight),
+        }
+
+    def assemble_score_loss(self, terms: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Scalar loss for the score+diffusion parameter group.
+
+        corrected: minimize score matching + annealed KL + gradient penalty.
+        faithful: the reference's literal -elbo, in which these terms enter
+        with *negative* sign (i.e. are ascended; reference :620-636).
+        """
+        cfg = self.config
+        core = (
+            cfg.diffusion_weight * terms["score_matching_loss"]
+            + cfg.kl_weight * terms["kl_loss"] * terms["kl_anneal"]
+            + cfg.grad_penalty_weight * terms["grad_penalty"]
+        )
+        if cfg.semantics.mode == "faithful":
+            return -core
+        return core
+
+    def assemble_model_loss(
+        self, terms: Dict[str, jnp.ndarray], dynamics_loss: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Scalar loss for the dynamics+decoder+reward group.
+
+        corrected: reconstruction + reward NLL + dynamics MSE (the reference's
+        *intended* partition, agents/state_agent.py:269-274). faithful: only
+        the dynamics MSE reaches parameters (the reference wipes decoder /
+        reward grads before their optimizer step; see DEVIATIONS.md).
+        """
+        cfg = self.config
+        if cfg.semantics.train_decoder_and_reward:
+            return (
+                terms["reconstruction_loss"]
+                + cfg.reward_weight * terms["reward_loss"]
+                + dynamics_loss
+            )
+        return dynamics_loss
+
+    def elbo_value(self, terms: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """The reference's reported ELBO scalar (reference :620-623), for logging."""
+        cfg = self.config
+        return (
+            -terms["reconstruction_loss"]
+            + cfg.kl_weight * terms["kl_loss"] * terms["kl_anneal"]
+            + cfg.diffusion_weight * terms["score_matching_loss"]
+            + cfg.grad_penalty_weight * terms["grad_penalty"]
+            - cfg.reward_weight * terms["reward_loss"]
+        )
+
+    # ------------------------------------------------------------------
+    # Lambda returns (reference :638-707) — vectorized in core/returns.py
+    # ------------------------------------------------------------------
+
+    def lambda_returns(
+        self,
+        rewards: jnp.ndarray,
+        values: jnp.ndarray,
+        next_values: jnp.ndarray,
+        dones: jnp.ndarray,
+        lambda_: Optional[float] = None,
+        n_steps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        return compute_lambda_returns(
+            rewards,
+            values,
+            next_values,
+            dones,
+            discount=cfg.discount_factor,
+            lambda_=cfg.lambda_return if lambda_ is None else lambda_,
+            n_steps=cfg.lambda_n_steps if n_steps is None else n_steps,
+        )
+
+    # ------------------------------------------------------------------
+    # Action selection (reference :478-531)
+    # ------------------------------------------------------------------
+
+    def act(
+        self,
+        params: Params,
+        key: jax.Array,
+        observation: jnp.ndarray,
+        deterministic: bool = False,
+        num_steps: Optional[int] = None,
+        compute_efe_info: bool = False,
+        preference_temperature: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Belief update via reverse diffusion, then policy sample.
+
+        The reference also computes the EFE here but does not use it for
+        action selection (reference :501-510); ``compute_efe_info`` replicates
+        that for diagnostics.
+        """
+        if observation.ndim == 1:
+            observation = observation[None]
+        belief_key, efe_key, act_key = jax.random.split(key, 3)
+
+        belief = self.generate_beliefs(
+            params, belief_key, observation, num_steps=num_steps,
+            compute_reconstruction=compute_efe_info,
+        )
+        latent = belief.latent
+
+        dist = self.apply_policy(params["policy"], latent)
+        action, log_prob = sample_action(dist, act_key, deterministic=deterministic)
+
+        info: Dict[str, jnp.ndarray] = {
+            "action_log_prob": jnp.mean(log_prob),
+            "policy_entropy": jnp.mean(dist.entropy()),
+        }
+        if compute_efe_info:
+            temp = (
+                preference_temperature
+                if preference_temperature is not None
+                else jnp.asarray(self.config.preference_temperature)
+            )
+            efe, efe_info = self.compute_expected_free_energy(
+                params, latent, efe_key, temp
+            )
+            info["expected_free_energy"] = jnp.mean(efe)
+            info["reconstruction_error"] = belief.reconstruction_error
+            info.update(efe_info)
+        return action, info

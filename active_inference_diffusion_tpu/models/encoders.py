@@ -1,0 +1,344 @@
+"""Visual and state encoders, conv decoder, and attention aggregators.
+
+TPU-native counterparts of the reference's encoder stack
+(reference: active_inference_diffusion/encoder/visual_encoders.py,
+encoder/state_encoders.py, utils/util.py:7-75).
+
+Design notes:
+
+- All image tensors use **NHWC** layout internally (TPU-native; XLA convs are
+  fastest channels-last). ``nchw_to_nhwc`` / ``nhwc_to_nchw`` adapt external
+  NCHW data (the reference is NCHW throughout).
+- PixelShuffle upsampling is expressed as a depth-to-space reshape
+  (reference: visual_encoders.py:399 uses nn.PixelShuffle).
+- Spectral normalization defaults off (the reference wraps convs in
+  spectral_norm, visual_encoders.py:70-71); see DEVIATIONS.md.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import mish
+
+
+def nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, -3, -1)
+
+
+def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x, -1, -3)
+
+
+def depth_to_space(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """PixelShuffle: (B, H, W, C*r*r) -> (B, H*r, W*r, C)."""
+    b, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, r, r, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+class SpatialAttention(nn.Module):
+    """Avg+max pooled spatial attention with learnable temperature and residual
+    (reference: encoder/visual_encoders.py:192-225). NHWC."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        avg_pool = jnp.mean(x, axis=-1, keepdims=True)
+        max_pool = jnp.max(x, axis=-1, keepdims=True)
+        pooled = jnp.concatenate([avg_pool, max_pool], axis=-1)
+        attn = nn.Conv(1, (7, 7), padding=3, name="spatial_conv")(pooled)
+        temperature = self.param("temperature", nn.initializers.ones, (1,))
+        attn = jax.nn.sigmoid(attn / temperature)
+        return x + x * attn  # residual (reference :224-225)
+
+
+class DrQV2Encoder(nn.Module):
+    """DrQ-v2-style conv encoder with GroupNorm, Mish, progressive channel
+    dropout, optional spatial attention, and a tanh-projected feature head
+    (reference: encoder/visual_encoders.py:13-189). Input NHWC in [0, 1]."""
+
+    obs_shape: Tuple[int, int, int]  # (C, H, W) as in the reference config
+    feature_dim: int = 50
+    frame_stack: int = 1
+    num_layers: int = 4
+    num_filters: int = 32
+    use_attention: bool = True
+    use_spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        c, _, _ = self.obs_shape
+        input_channels = c * self.frame_stack
+        if x.ndim == 3:
+            x = x[None]
+        if x.shape[-1] != input_channels and x.shape[-3] == input_channels:
+            # Accept NCHW input for reference-API compatibility.
+            x = nchw_to_nhwc(x)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+
+        channels = [self.num_filters * (2 ** min(i, 3)) for i in range(self.num_layers)]
+        for i, ch in enumerate(channels):
+            stride = 2 if i == 0 else 1
+            x = nn.Conv(
+                ch,
+                (3, 3),
+                strides=(stride, stride),
+                padding=1,
+                use_bias=False,
+                kernel_init=nn.initializers.he_normal(),
+                name=f"conv{i}",
+            )(x)
+            x = nn.GroupNorm(num_groups=min(32, ch // 4), name=f"gn{i}")(x)
+            x = mish(x)
+            if i < self.num_layers - 1:
+                # Channel dropout (Dropout2d): zero whole feature maps.
+                rate = 0.1 * (i / self.num_layers)
+                x = nn.Dropout(
+                    rate, broadcast_dims=(1, 2), deterministic=not train
+                )(x)
+
+        if self.use_attention:
+            x = SpatialAttention(channels[-1], name="attention")(x)
+
+        x = x.reshape(x.shape[0], -1)
+        x = nn.LayerNorm(name="flat_ln")(x)
+        x = nn.Dense(
+            self.feature_dim * 2, kernel_init=nn.initializers.xavier_uniform(), name="proj_fc1"
+        )(x)
+        x = nn.LayerNorm(name="proj_ln")(x)
+        x = mish(x)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Dense(
+            self.feature_dim, kernel_init=nn.initializers.xavier_uniform(), name="proj_fc2"
+        )(x)
+        x = nn.LayerNorm(name="out_ln")(x)
+        return jnp.tanh(x)
+
+
+class DecoderBlock(nn.Module):
+    """Decoder block with optional sub-pixel upsampling, InstanceNorm, Mish,
+    and a residual path (reference: encoder/visual_encoders.py:370-459). NHWC."""
+
+    out_channels: int
+    upsample: bool = False
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        def instance_norm(h, name):
+            return nn.GroupNorm(num_groups=h.shape[-1], name=name)(h)
+
+        # Main path
+        if self.upsample:
+            h = nn.Conv(self.out_channels * 4, (3, 3), padding=1, name="main_conv1")(x)
+            h = depth_to_space(h, 2)
+        else:
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, name="main_conv1")(x)
+        h = instance_norm(h, "main_in1")
+        h = mish(h)
+        h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2), deterministic=not train)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="main_conv2")(h)
+        h = instance_norm(h, "main_in2")
+
+        # Residual path
+        if x.shape[-1] != self.out_channels or self.upsample:
+            if self.upsample:
+                r = nn.Conv(self.out_channels * 4, (1, 1), name="res_conv")(x)
+                r = depth_to_space(r, 2)
+            else:
+                r = nn.Conv(self.out_channels, (1, 1), name="res_conv")(x)
+            r = instance_norm(r, "res_in")
+        else:
+            r = x
+        return mish(h + r)
+
+
+class ConvDecoder(nn.Module):
+    """Latent -> image decoder with progressive sub-pixel upsampling
+    (reference: encoder/visual_encoders.py:228-367). Output NHWC in [0, 1],
+    spatial size = spatial_size * 4 (21 -> 84)."""
+
+    latent_dim: int
+    img_channels: int = 3
+    hidden_dim: int = 256
+    spatial_size: int = 21
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        b = latent.shape[0]
+        s = self.spatial_size
+        h = nn.Dense(self.hidden_dim * 4, name="proj_fc1")(latent)
+        h = nn.LayerNorm(name="proj_ln1")(h)
+        h = mish(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        h = nn.Dense(self.hidden_dim * s * s, name="proj_fc2")(h)
+        h = nn.LayerNorm(name="proj_ln2")(h)
+        h = mish(h)
+        h = h.reshape(b, s, s, self.hidden_dim)
+
+        h = DecoderBlock(self.hidden_dim, upsample=False, name="block0")(h, train=train)
+        h = DecoderBlock(self.hidden_dim // 2, upsample=True, name="block1")(h, train=train)
+        h = DecoderBlock(self.hidden_dim // 4, upsample=True, name="block2")(h, train=train)
+        h = DecoderBlock(self.hidden_dim // 8, upsample=False, name="block3")(h, train=train)
+
+        h = nn.Conv(32, (3, 3), padding=1, name="out_conv1")(h)
+        h = nn.GroupNorm(num_groups=32, name="out_in1")(h)
+        h = mish(h)
+        h = nn.Conv(32, (3, 3), padding=1, name="out_conv2")(h)
+        h = nn.GroupNorm(num_groups=32, name="out_in2")(h)
+        h = mish(h)
+        h = nn.Conv(self.img_channels, (3, 3), padding=1, name="out_conv3")(h)
+        return jax.nn.sigmoid(h)
+
+
+class SpatialAttentionAggregator(nn.Module):
+    """Learnable-query cross-attention over spatial conv features
+    (reference: utils/util.py:7-75). Input NHWC; returns ((B, output_dim),
+    attention weights)."""
+
+    feature_dim: int = 128
+    num_heads: int = 8
+    spatial_dim: int = 21
+    num_queries: int = 16
+    output_dim: int = 256
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, *, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+
+        pos = self.param(
+            "pos_encoding",
+            nn.initializers.normal(0.02),
+            (1, self.spatial_dim * self.spatial_dim, self.feature_dim),
+        )
+        seq = seq + pos[:, : h * w, :]
+
+        queries = self.param(
+            "epistemic_queries",
+            nn.initializers.normal(0.02),
+            (1, self.num_queries, self.feature_dim),
+        )
+        queries = jnp.broadcast_to(queries, (b, self.num_queries, self.feature_dim))
+
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=0.1,
+            deterministic=not train,
+            name="attention",
+        )
+        attended = attn(inputs_q=queries, inputs_k=seq, inputs_v=seq)
+
+        flat = attended.reshape(b, -1)
+        out = nn.Dense(512, name="out_fc1")(flat)
+        out = nn.LayerNorm(name="out_ln")(out)
+        out = nn.gelu(out)
+        out = nn.Dense(self.output_dim, name="out_fc2")(out)
+        return out, attended
+
+
+class StateEncoder(nn.Module):
+    """MLP state encoder with optional projection
+    (reference: encoder/state_encoders.py:15-65)."""
+
+    state_dim: int
+    latent_dim: int
+    hidden_dim: int = 256
+    num_layers: int = 2
+    use_projection: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not (self.use_projection and self.state_dim != self.latent_dim):
+            return x
+        h = x
+        for i in range(self.num_layers):
+            h = nn.Dense(self.hidden_dim, name=f"fc{i}")(h)
+            h = nn.LayerNorm(name=f"ln{i}")(h)
+            h = nn.relu(h)
+        h = nn.Dense(self.latent_dim, name="out")(h)
+        return jnp.tanh(h)
+
+
+class MultiViewEncoder(nn.Module):
+    """Per-camera DrQ-v2 encoders fused by concat/sum/attention
+    (reference: encoder/state_encoders.py:68-153)."""
+
+    camera_configs: Dict[str, Dict]
+    feature_dim: int = 128
+    frame_stack: int = 1
+    fusion: str = "attention"  # concat | sum | attention
+
+    @nn.compact
+    def __call__(self, views: Dict[str, jnp.ndarray], *, train: bool = False) -> jnp.ndarray:
+        features = []
+        for cam_name, cfg in sorted(self.camera_configs.items()):
+            if cam_name not in views:
+                continue
+            feat = DrQV2Encoder(
+                obs_shape=(3, cfg["height"], cfg["width"]),
+                feature_dim=self.feature_dim,
+                frame_stack=self.frame_stack,
+                name=f"enc_{cam_name}",
+            )(views[cam_name], train=train)
+            features.append(feat)
+        if not features:
+            raise ValueError("No valid camera observations provided")
+
+        if self.fusion == "concat":
+            fused = jnp.concatenate(features, axis=-1)
+            h = nn.Dense(self.feature_dim * 2, name="fuse_fc1")(fused)
+            h = nn.relu(h)
+            h = nn.Dropout(0.2, deterministic=not train)(h)
+            h = nn.Dense(self.feature_dim, name="fuse_fc2")(h)
+            return jnp.tanh(h)
+        if self.fusion == "sum":
+            return sum(features) / len(features)
+        # attention fusion
+        stacked = jnp.stack(features, axis=1)  # (B, V, D)
+        attended = nn.MultiHeadDotProductAttention(
+            num_heads=4, deterministic=not train, name="fuse_attn"
+        )(inputs_q=stacked, inputs_k=stacked, inputs_v=stacked)
+        pooled = jnp.mean(attended, axis=1)
+        return nn.LayerNorm(name="fuse_ln")(pooled)
+
+
+class EncoderFactory:
+    """Encoder dispatch (reference: encoder/state_encoders.py:156-200)."""
+
+    @staticmethod
+    def create_encoder(
+        encoder_type: str,
+        obs_shape: Tuple[int, ...],
+        feature_dim: int,
+        frame_stack: int = 1,
+        **kwargs,
+    ) -> nn.Module:
+        if encoder_type == "drqv2":
+            return DrQV2Encoder(
+                obs_shape=obs_shape,
+                feature_dim=feature_dim,
+                frame_stack=frame_stack,
+                **kwargs,
+            )
+        if encoder_type == "state":
+            return StateEncoder(
+                state_dim=obs_shape[0], latent_dim=feature_dim, **kwargs
+            )
+        if encoder_type == "multiview":
+            return MultiViewEncoder(
+                feature_dim=feature_dim, frame_stack=frame_stack, **kwargs
+            )
+        raise ValueError(f"Unknown encoder type: {encoder_type}")

@@ -1,0 +1,197 @@
+"""Integration tests: core orchestrator + state agent jitted train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+from active_inference_diffusion_tpu.configs.config import (
+    ActiveInferenceConfig,
+    DiffusionConfig,
+    TrainingConfig,
+)
+
+
+def tiny_config(mode="corrected"):
+    cfg = ActiveInferenceConfig(
+        observation_dim=5,
+        action_dim=2,
+        latent_dim=8,
+        hidden_dim=32,
+        score_num_layers=2,
+        batch_size=8,
+        efe_horizon=2,
+        num_efe_trajectories=3,
+        num_ambiguity_samples=2,
+        epistemic_update_every=2,
+        diffusion=DiffusionConfig(num_diffusion_steps=5, beta_schedule="linear"),
+    )
+    cfg.semantics.mode = mode
+    cfg.tpu.donate_buffers = False  # tests inspect pre-update state
+    tcfg = TrainingConfig(buffer_size=100, collect_diffusion_steps=3)
+    return cfg, tcfg
+
+
+def make_batch(key, b=8, obs_dim=5, act_dim=2):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "observations": jax.random.normal(k1, (b, obs_dim)),
+        "actions": jax.random.normal(k2, (b, act_dim)),
+        "rewards": jax.random.normal(k3, (b,)),
+        "next_observations": jax.random.normal(k4, (b, obs_dim)),
+        "dones": jax.random.bernoulli(k5, 0.1, (b,)),
+    }
+
+
+@pytest.fixture(scope="module")
+def agent_and_state():
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    return agent, state
+
+
+def test_init_param_groups(agent_and_state):
+    agent, state = agent_and_state
+    assert set(state.params.keys()) == {
+        "score", "diffusion", "policy", "value", "dynamics",
+        "decoder", "reward", "epistemic",
+    }
+    assert set(state.opt_states.keys()) == set(agent.PARTITIONS.keys())
+
+
+def test_generate_beliefs(agent_and_state):
+    agent, state = agent_and_state
+    obs = jax.random.normal(jax.random.PRNGKey(1), (4, 5))
+    belief = agent.core.generate_beliefs(state.params, jax.random.PRNGKey(2), obs)
+    assert belief.latent.shape == (4, 8)
+    assert np.isfinite(np.asarray(belief.latent)).all()
+    assert np.isfinite(float(belief.reconstruction_error))
+
+
+def test_efe_shapes_and_gradient_flow(agent_and_state):
+    agent, state = agent_and_state
+    latent = jax.random.normal(jax.random.PRNGKey(3), (4, 8))
+    efe, info = agent.core.compute_expected_free_energy(
+        state.params, latent, jax.random.PRNGKey(4), jnp.asarray(1.0)
+    )
+    assert efe.shape == (4,)
+    assert np.isfinite(np.asarray(efe)).all()
+
+    # policy gradient of mean EFE is nonzero
+    def loss(policy_params):
+        p = dict(state.params)
+        p["policy"] = policy_params
+        e, _ = agent.core.compute_expected_free_energy(
+            p, latent, jax.random.PRNGKey(4), jnp.asarray(1.0)
+        )
+        return jnp.mean(e)
+
+    g = jax.grad(loss)(state.params["policy"])
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert total > 0.0
+
+
+def test_train_step_runs_and_updates(agent_and_state):
+    agent, state = agent_and_state
+    batch = make_batch(jax.random.PRNGKey(5))
+    new_state, metrics = agent.train_step(state, batch)
+
+    assert int(new_state.step) == int(state.step) + 1
+    for name in [
+        "reconstruction_loss", "score_matching_loss", "kl_loss", "policy_loss",
+        "value_loss", "dynamics_loss", "grad_penalty", "reward_loss", "elbo",
+    ]:
+        assert name in metrics, name
+        assert np.isfinite(float(metrics[name])), name
+
+    # score parameters actually moved
+    def tree_diff(a, b):
+        return sum(
+            float(jnp.sum(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert tree_diff(state.params["score"], new_state.params["score"]) > 0
+    assert tree_diff(state.params["policy"], new_state.params["policy"]) > 0
+    assert tree_diff(state.params["value"], new_state.params["value"]) > 0
+    assert tree_diff(state.params["dynamics"], new_state.params["dynamics"]) > 0
+    # corrected semantics: decoder and reward predictor are trained
+    assert tree_diff(state.params["decoder"], new_state.params["decoder"]) > 0
+    assert tree_diff(state.params["reward"], new_state.params["reward"]) > 0
+    # EMA moved toward params
+    assert tree_diff(state.ema_score, new_state.ema_score) > 0
+    # reward normalizer updated
+    assert float(new_state.reward_norm.count) > float(state.reward_norm.count)
+
+
+def test_epistemic_update_cadence(agent_and_state):
+    agent, state = agent_and_state
+    batch = make_batch(jax.random.PRNGKey(6))
+    # step 0: epistemic update fires (step % 2 == 0)
+    s1, m1 = agent.train_step(state, batch)
+    assert float(m1["epistemic_mi"]) != 0.0 or True  # value may be any finite
+    # step 1: skipped
+    s2, m2 = agent.train_step(s1, batch)
+    assert float(m2["epistemic_mi"]) == 0.0
+
+    def tree_diff(a, b):
+        return sum(
+            float(jnp.sum(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    # epistemic params changed on step 0, not on step 1
+    assert tree_diff(state.params["epistemic"], s1.params["epistemic"]) > 0
+    assert tree_diff(s1.params["epistemic"], s2.params["epistemic"]) == 0
+
+
+def test_act_shapes_and_exploration(agent_and_state):
+    agent, state = agent_and_state
+    obs = np.random.default_rng(0).normal(size=(3, 5)).astype(np.float32)
+    actions = agent.act(state, obs, jax.random.PRNGKey(7))
+    assert actions.shape == (3, 2)
+    assert (np.abs(actions) <= 1.0).all()  # exploration noise path clips
+
+    det_actions = agent.act(state, obs, jax.random.PRNGKey(8), deterministic=True)
+    det_actions2 = agent.act(state, obs, jax.random.PRNGKey(9), deterministic=True)
+    # deterministic acting still depends on the sampled diffusion belief, so
+    # different keys give different actions; same key gives identical ones
+    same = agent.act(state, obs, jax.random.PRNGKey(8), deterministic=True)
+    np.testing.assert_allclose(det_actions, same)
+
+
+def test_faithful_mode_runs():
+    cfg, tcfg = tiny_config(mode="faithful")
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, metrics = agent.train_step(state, batch)
+    assert np.isfinite(float(metrics["policy_loss"]))
+
+    # faithful semantics: decoder/reward are NOT trained (reference behavior)
+    def tree_diff(a, b):
+        return sum(
+            float(jnp.sum(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert tree_diff(state.params["decoder"], new_state.params["decoder"]) == 0
+
+
+def test_reward_normalizer_welford():
+    from active_inference_diffusion_tpu.agents.base import RewardNormState
+
+    rn = RewardNormState.create()
+    rng = np.random.default_rng(0)
+    all_x = []
+    for _ in range(10):
+        x = rng.normal(loc=3.0, scale=2.0, size=64).astype(np.float32)
+        all_x.append(x)
+        rn = rn.update(jnp.asarray(x))
+    flat = np.concatenate(all_x)
+    np.testing.assert_allclose(float(rn.mean), flat.mean(), rtol=1e-3)
+    np.testing.assert_allclose(float(rn.var), flat.var(), rtol=1e-2)
+    normed = np.asarray(rn.normalize(jnp.asarray(flat)))
+    np.testing.assert_allclose(normed.mean(), 0.0, atol=1e-2)
