@@ -1,0 +1,223 @@
+"""Pixel-based diffusion active-inference agent.
+
+TPU-native counterpart of the reference's ``DiffusionPixelAgent``
+(reference: active_inference_diffusion/agents/pixel_agent.py:25-470).
+Pipeline: uint8 frames -> random-shift augmentation (ops/shift_aug.py, one
+batched gather instead of the reference's Python loop) -> DrQ-v2 conv encoder
+(NHWC) -> diffusion latents -> policy; plus an uncertainty-weighted InfoNCE
+contrastive loss aligning predicted next latents with next encoded features
+(reference: pixel_agent.py:413-437).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.config import (
+    ActiveInferenceConfig,
+    PixelObservationConfig,
+    TrainingConfig,
+)
+from ..models.encoders import DrQV2Encoder
+from ..ops.shift_aug import random_shift
+from .state_agent import DiffusionStateAgent
+
+Params = Dict[str, Any]
+
+
+class DiffusionPixelAgent(DiffusionStateAgent):
+    """Agent over stacked-frame pixel observations."""
+
+    PARTITIONS = {
+        # encoder + feature decoder live in the score optimizer
+        # (reference: agents/pixel_agent.py:439-449)
+        "score": ["score", "diffusion", "encoder", "feature_decoder"],
+        "policy": ["policy"],
+        "value": ["value"],
+        "model": ["dynamics", "decoder", "reward"],
+        "epistemic": ["epistemic"],
+    }
+
+    def __init__(
+        self,
+        obs_shape: Tuple[int, ...],
+        action_dim: int,
+        config: ActiveInferenceConfig,
+        training_config: TrainingConfig,
+        pixel_config: PixelObservationConfig,
+    ):
+        # obs_shape: (T, C, H, W) frame-stacked or (C, H, W)
+        self.pixel_config = pixel_config
+        if len(obs_shape) == 4:
+            self.frame_stack, c, h, w = obs_shape
+        else:
+            c, h, w = obs_shape
+            self.frame_stack = 1
+        self.pixel_shape = (c, h, w)
+        config.pixel_observation = True
+        # Encoded features live in latent space; the score net conditions on
+        # them (reference: pixel_agent.py:77-79).
+        config.observation_dim = config.latent_dim
+
+        self.encoder = DrQV2Encoder(
+            obs_shape=self.pixel_shape,
+            feature_dim=config.latent_dim,
+            frame_stack=self.frame_stack,
+            num_layers=4,
+            num_filters=32,
+        )
+
+        # BaseAgent.__init__ builds the core (with pixel decoders) and
+        # optimizers, then jits act/train_step via DiffusionStateAgent.
+        super().__init__(
+            observation_dim=config.latent_dim,
+            action_dim=action_dim,
+            config=config,
+            training_config=training_config,
+            pixel_shape=self.pixel_shape,
+        )
+
+    # -- construction ----------------------------------------------------
+
+    def init_params(self, param_key: jax.Array, extra_key: jax.Array) -> Params:
+        params = self.core.init_params(param_key)
+        t, c = self.frame_stack, self.pixel_shape[0]
+        h, w = self.pixel_shape[1], self.pixel_shape[2]
+        dummy = jnp.zeros((1, h, w, t * c), jnp.float32)
+        params["encoder"] = self.encoder.init(extra_key, dummy, train=False)["params"]
+        return params
+
+    # -- observation processing ------------------------------------------
+
+    def _to_nhwc_float(self, obs: jnp.ndarray) -> jnp.ndarray:
+        """(B,T,C,H,W) | (B,C',H,W) uint8/float -> (B,H,W,T*C) float in [0,1]
+        (reference layout handling: pixel_agent.py:166-199, 216-254)."""
+        if obs.ndim == 5:
+            b, t, c, h, w = obs.shape
+            obs = obs.reshape(b, t * c, h, w)
+        elif obs.ndim == 4:
+            pass
+        elif obs.ndim == 3:
+            obs = obs[None]
+        else:
+            raise ValueError(f"Unexpected observation shape: {obs.shape}")
+        obs = jnp.moveaxis(obs, 1, -1)  # NCHW -> NHWC
+        if obs.dtype == jnp.uint8:
+            obs = obs.astype(jnp.float32) / 255.0
+        return obs
+
+    def _apply_encoder(
+        self,
+        params: Params,
+        obs: jnp.ndarray,
+        key: Optional[jax.Array],
+        augment: bool,
+        train: bool,
+    ) -> jnp.ndarray:
+        x = self._to_nhwc_float(obs)
+        if augment and self.pixel_config.augmentation and key is not None:
+            x = random_shift(x, key, pad=self.pixel_config.random_shift_pad)
+        rngs = {"dropout": key} if (train and key is not None) else {}
+        return self.encoder.apply(
+            {"params": params["encoder"]}, x, train=train, rngs=rngs
+        )
+
+    def _encode_batch(
+        self,
+        params: Params,
+        batch: Dict[str, jnp.ndarray],
+        key: jax.Array,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        k1, k2 = jax.random.split(key)
+        enc_obs = self._apply_encoder(
+            params, batch["observations"], k1, augment=train, train=train
+        )
+        enc_next = self._apply_encoder(
+            params, batch["next_observations"], k2, augment=train, train=train
+        )
+        return enc_obs, enc_next
+
+    # -- contrastive representation loss ---------------------------------
+
+    def _extra_score_loss(
+        self,
+        params: Params,
+        batch: Dict[str, jnp.ndarray],
+        enc_obs: jnp.ndarray,
+        enc_next_obs: jnp.ndarray,
+        latents: jnp.ndarray,
+        next_latents: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Uncertainty-weighted InfoNCE aligning predicted next latents with
+        next encoded features (reference: pixel_agent.py:413-437)."""
+        pred_next, pred_logvar = self.core.predict_next_latent(
+            params["dynamics"], latents, batch["actions"]
+        )
+        pred_std = jnp.exp(0.5 * pred_logvar)
+        pred_norm = pred_next / (jnp.linalg.norm(pred_next, axis=-1, keepdims=True) + 1e-8)
+        target_norm = enc_next_obs / (
+            jnp.linalg.norm(enc_next_obs, axis=-1, keepdims=True) + 1e-8
+        )
+        uncertainty = 1.0 / (1.0 + jnp.mean(pred_std, axis=-1, keepdims=True))
+        logits = (pred_norm @ target_norm.T) / 0.1
+        weighted = logits * uncertainty
+        labels = jnp.arange(latents.shape[0])
+        log_probs = jax.nn.log_softmax(weighted, axis=-1)
+        loss = -jnp.mean(log_probs[labels, labels])
+        return self.config.contrastive_weight * loss, {"contrastive_loss": loss}
+
+    # -- action selection -------------------------------------------------
+
+    def _act_impl(
+        self,
+        params: Params,
+        key: jax.Array,
+        observation: jnp.ndarray,
+        exploration_noise: jnp.ndarray,
+        deterministic: bool = False,
+        num_steps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        enc_key, act_key, noise_key = jax.random.split(key, 3)
+        features = self._apply_encoder(
+            params, observation, enc_key, augment=False, train=False
+        )
+        action, _ = self.core.act(
+            params, act_key, features, deterministic=deterministic, num_steps=num_steps
+        )
+        if not deterministic:
+            noise = (
+                jax.random.normal(noise_key, action.shape, dtype=action.dtype)
+                * exploration_noise
+            )
+            action = jnp.clip(action + noise, -1.0, 1.0)
+        return action
+
+    def act(
+        self,
+        state,
+        observation: np.ndarray,
+        key: jax.Array,
+        deterministic: bool = False,
+        collect: bool = True,
+    ) -> np.ndarray:
+        obs = jnp.asarray(observation)
+        if obs.ndim == len(self.pixel_shape) + (1 if self.frame_stack > 1 else 0):
+            obs = obs[None]  # add batch dim
+        num_steps = (
+            self.training_config.collect_diffusion_steps if collect else None
+        )
+        return np.asarray(
+            self._act(
+                state.params,
+                key,
+                obs,
+                jnp.asarray(self.exploration_noise, jnp.float32),
+                deterministic=deterministic,
+                num_steps=num_steps,
+            )
+        )

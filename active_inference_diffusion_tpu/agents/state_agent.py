@@ -50,8 +50,12 @@ class DiffusionStateAgent(BaseAgent):
         action_dim: int,
         config: ActiveInferenceConfig,
         training_config: TrainingConfig,
+        pixel_shape: Optional[Tuple[int, int, int]] = None,
     ):
-        super().__init__(observation_dim, action_dim, config, training_config)
+        super().__init__(
+            observation_dim, action_dim, config, training_config,
+            pixel_shape=pixel_shape,
+        )
         donate = (0,) if config.tpu.donate_buffers else ()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
         self._act = jax.jit(
@@ -122,11 +126,19 @@ class DiffusionStateAgent(BaseAgent):
         return state, metrics
 
     def _encode_batch(
-        self, params: Params, batch: Dict[str, jnp.ndarray], key: jax.Array
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Observation featurization hook; identity for state agents."""
-        del params, key
-        return batch["observations"], batch["next_observations"], {}
+        self,
+        params: Params,
+        batch: Dict[str, jnp.ndarray],
+        key: jax.Array,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Observation featurization hook; identity for state agents. Pixel
+        agents apply augmentation + conv encoding here — called both outside
+        the loss (stop-gradient, for the belief sweep) and inside the fused
+        loss (so encoder parameters receive ELBO/contrastive gradients), with
+        the same key so the augmentation sample is shared."""
+        del params, key, train
+        return batch["observations"], batch["next_observations"]
 
     def _extra_score_loss(
         self,
@@ -159,8 +171,10 @@ class DiffusionStateAgent(BaseAgent):
         new_reward_norm = state.reward_norm.update(rewards)
         norm_rewards = new_reward_norm.normalize(rewards)
 
-        # Featurize observations (pixel agents encode; state agents pass through)
-        enc_obs, enc_next_obs, enc_aux = self._encode_batch(params, batch, enc_key)
+        # Featurize observations for the belief sweep (stop-gradient; pixel
+        # agents re-encode inside the fused loss for encoder gradients)
+        sg_params = jax.lax.stop_gradient(params)
+        enc_obs, enc_next_obs = self._encode_batch(sg_params, batch, enc_key)
 
         # --- 1. Belief generation: ONE batched sweep for obs + next_obs
         # (the reference runs three separate sweeps per train step,
@@ -169,7 +183,7 @@ class DiffusionStateAgent(BaseAgent):
             [jax.lax.stop_gradient(enc_obs), jax.lax.stop_gradient(enc_next_obs)], axis=0
         )
         belief = core.generate_beliefs(
-            jax.lax.stop_gradient(params), belief_key, both, compute_reconstruction=False
+            sg_params, belief_key, both, compute_reconstruction=False
         )
         latents, next_latents = jnp.split(jax.lax.stop_gradient(belief.latent), 2, axis=0)
 
@@ -183,14 +197,17 @@ class DiffusionStateAgent(BaseAgent):
 
         def fused_loss_fn(sub: Params):
             p = merged(params, sub)
+            # Re-encode inside the loss (same key -> same augmentation) so
+            # encoder params in `sub` receive gradients; identity for states.
+            enc_obs_l, enc_next_obs_l = self._encode_batch(p, batch, enc_key)
             terms = core.elbo_terms(
-                p, elbo_key, jax.lax.stop_gradient(enc_obs), norm_rewards, latents,
+                p, elbo_key, enc_obs_l, norm_rewards, latents,
                 state.time_importance, train=True,
             )
             score_loss = core.assemble_score_loss(terms)
 
             extra_loss, extra_info = self._extra_score_loss(
-                p, batch, enc_obs, enc_next_obs, latents, next_latents
+                p, batch, enc_obs_l, enc_next_obs_l, latents, next_latents
             )
 
             pred_next, _ = core.predict_next_latent(p["dynamics"], latents, actions)

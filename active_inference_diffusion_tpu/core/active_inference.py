@@ -108,7 +108,9 @@ class DiffusionActiveInference:
                 latent_dim=latent_dim,
                 img_channels=pixel_shape[0],
                 hidden_dim=config.hidden_dim,
-                spatial_size=21,
+                # two sub-pixel 2x upsamples: 84 -> spatial 21 (reference
+                # hardcodes 21 for 84x84, core/active_inference.py:134-140)
+                spatial_size=pixel_shape[1] // 4,
             )
             self.feature_decoder = FeatureDecoder(
                 latent_dim=latent_dim, hidden_dim=config.hidden_dim

@@ -1,0 +1,1 @@
+from .collect import BatchedCollector, create_collector

@@ -1,0 +1,109 @@
+"""Multi-chip training: GSPMD data/tensor parallel train step and an explicit
+shard_map + psum path for batched inference.
+
+No reference counterpart (the reference is single-GPU; SURVEY.md section 2.6).
+
+Two styles, both idiomatic JAX:
+
+1. ``make_dp_train_step``: the agent's full jitted train step compiled with
+   NamedShardings — train-state replicated (or TP-sharded for the big MLP
+   kernels), batch sharded over ``dp``. GSPMD inserts the gradient
+   all-reduces over ICI automatically; this is mathematically exact data
+   parallelism of the single-chip step.
+
+2. ``make_sharded_act``: collection-time batched inference under
+   ``shard_map`` — each device runs the full reverse-diffusion + policy
+   program on its batch shard; no collectives needed (embarrassingly
+   parallel), demonstrating the explicit-SPMD style.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_sharding, param_shardings, replicated
+
+
+def make_dp_train_step(
+    agent,
+    mesh: Mesh,
+    tp_size: int = 1,
+    donate: bool = True,
+) -> Callable:
+    """Compile the agent's train step for a (dp, tp) mesh.
+
+    Returns ``train_step(state, batch) -> (state, metrics)`` where ``state``
+    lives replicated/TP-sharded and ``batch`` is dp-sharded. Call
+    ``place_state``/``place_batch`` (also returned) to install shardings.
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, "dp")
+
+    def state_shardings(state):
+        # params (and their optimizer/EMA mirrors) may be TP-sharded; all
+        # other state is replicated.
+        def spec_like_params(tree):
+            return param_shardings(mesh, tree, tp_size)
+
+        return state.replace(
+            params=spec_like_params(state.params),
+            opt_states=jax.tree_util.tree_map(lambda _: rep, state.opt_states),
+            ema_score=spec_like_params(state.ema_score),
+            time_importance=rep,
+            epistemic_running_mean=rep,
+            reward_norm=jax.tree_util.tree_map(lambda _: rep, state.reward_norm),
+            preference_temperature=rep,
+            rng=rep,
+            step=rep,
+        )
+
+    def place_state(state):
+        sh = state_shardings(state)
+        return jax.tree_util.tree_map(jax.device_put, state, sh)
+
+    def place_batch(batch):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), batch)
+
+    compiled: Dict[str, Any] = {}
+
+    def train_step(state, batch):
+        if "fn" not in compiled:
+            sh = state_shardings(state)
+            batch_sh = jax.tree_util.tree_map(lambda _: bsh, batch)
+            compiled["fn"] = jax.jit(
+                agent._train_step_impl,
+                in_shardings=(sh, batch_sh),
+                out_shardings=(sh, None),
+                donate_argnums=(0,) if donate else (),
+            )
+        return compiled["fn"](state, batch)
+
+    return train_step, place_state, place_batch
+
+
+def make_sharded_act(agent, mesh: Mesh, num_steps: Optional[int] = None) -> Callable:
+    """shard_map batched action selection: each device denoises its batch
+    shard independently (collection is embarrassingly parallel across envs)."""
+    from jax import shard_map
+
+    def local_act(params, key, obs, noise_scale):
+        # fold in the device index so shards draw independent randomness
+        idx = jax.lax.axis_index("dp")
+        key = jax.random.fold_in(key, idx)
+        return agent._act_impl(
+            params, key, obs, noise_scale, deterministic=False, num_steps=num_steps
+        )
+
+    sharded = shard_map(
+        local_act,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P()),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

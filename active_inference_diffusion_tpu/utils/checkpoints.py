@@ -1,0 +1,98 @@
+"""Orbax checkpointing: params, optimizer states, EMA, RNG, step, configs.
+
+Counterpart of the reference's checkpoint utilities
+(reference: active_inference_diffusion/utils/training.py:72-172). Improvements
+over the reference: EMA shadow weights and the PRNG key ARE checkpointed (the
+reference drops them, training.py:87-103), and a real ``--resume`` path exists
+(the reference README advertises one that its entry point lacks,
+README.md:77 vs examples/train_mujoco.py:443-456).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..agents.base import AgentTrainState
+from ..configs.config import config_to_dict
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    state: AgentTrainState,
+    step: int,
+    episode_count: int = 0,
+    exploration_noise: float = 0.0,
+    config=None,
+    training_config=None,
+    keep_latest_alias: bool = True,
+) -> str:
+    """Save the full train state plus host metadata. Writes
+    ``checkpoint_<step>`` and refreshes a ``latest`` alias
+    (reference: utils/training.py:72-122)."""
+    ckpt_dir = Path(checkpoint_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"checkpoint_{step}"
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", state, force=True)
+
+    meta = {
+        "total_steps": step,
+        "episode_count": episode_count,
+        "exploration_noise": exploration_noise,
+    }
+    if config is not None:
+        meta["config"] = config_to_dict(config)
+    if training_config is not None:
+        meta["training_config"] = config_to_dict(training_config)
+    with open(path / "meta.json", "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+    if keep_latest_alias:
+        latest = ckpt_dir / "latest"
+        with open(ckpt_dir / "latest.txt", "w") as f:
+            f.write(str(path))
+        try:
+            if latest.is_symlink() or latest.exists():
+                latest.unlink()
+            latest.symlink_to(path)
+        except OSError:
+            pass
+    return str(path)
+
+
+def resolve_checkpoint_path(path_or_dir: str) -> Path:
+    """Accept a specific checkpoint dir, a checkpoints root (picks latest), or
+    a ``latest`` alias."""
+    p = Path(path_or_dir).absolute()
+    if (p / "state").exists():
+        return p
+    if (p / "latest.txt").exists():
+        return Path((p / "latest.txt").read_text().strip())
+    candidates = sorted(
+        p.glob("checkpoint_*"), key=lambda c: int(c.name.split("_")[-1])
+    )
+    if candidates:
+        return candidates[-1]
+    raise FileNotFoundError(f"No checkpoint found under {path_or_dir}")
+
+
+def load_checkpoint(
+    path_or_dir: str, template_state: AgentTrainState
+) -> Tuple[AgentTrainState, Dict[str, Any]]:
+    """Restore a train state (using ``template_state`` for structure/shapes)
+    plus the host metadata dict (reference: utils/training.py:125-172)."""
+    path = resolve_checkpoint_path(path_or_dir)
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
+        state = ckptr.restore(path / "state", abstract)
+    meta: Dict[str, Any] = {}
+    meta_file = path / "meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+    return state, meta

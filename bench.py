@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Headline benchmark: denoiser throughput on the flagship HalfCheetah config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: reverse-diffusion denoiser steps/sec at the reference entry-point
+flagship configuration (batch 256, latent 32, hidden 128, K=25 cosine
+schedule — reference examples/train_mujoco.py:150-186). One "denoiser step" is
+one score-network forward + p_sample update over the full 256 batch; this is
+the hot loop of both collection and training in the reference
+(reference: core/diffusion.py:176-206, utils/async_collector.py:530-595).
+
+vs_baseline divides by the PyTorch reference's self-measured throughput on
+this host (benchmarks/baseline_torch.py; the reference publishes no numbers —
+see BASELINE.md). Secondary metrics (train-step throughput, sweep latency) go
+to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+BASELINE_FILE = Path(__file__).parent / "benchmarks" / "baseline_results.json"
+
+BATCH = 256
+LATENT_DIM = 32
+HIDDEN_DIM = 128
+NUM_STEPS = 25
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_baseline() -> dict:
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())
+    log("baseline cache missing; measuring torch reference ...")
+    subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "benchmarks" / "baseline_torch.py")],
+        check=True,
+        capture_output=True,
+    )
+    return json.loads(BASELINE_FILE.read_text())
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        TrainingConfig,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} / {dev.device_kind}")
+
+    config = ActiveInferenceConfig(
+        observation_dim=17,
+        action_dim=6,
+        latent_dim=LATENT_DIM,
+        hidden_dim=HIDDEN_DIM,
+        batch_size=BATCH,
+        kl_weight=0.5,
+        diffusion=DiffusionConfig(num_diffusion_steps=NUM_STEPS, beta_schedule="cosine"),
+    )
+    config.tpu.donate_buffers = False
+    agent = DiffusionStateAgent(17, 6, config, TrainingConfig(buffer_size=2048))
+    params = agent.core.init_params(jax.random.PRNGKey(0))
+
+    obs = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 17))
+
+    @jax.jit
+    def sweep(params, key, observations):
+        return agent.core.generate_beliefs(
+            params, key, observations, compute_reconstruction=False
+        ).latent
+
+    # --- denoiser sweep benchmark -------------------------------------
+    key = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    sweep(params, key, obs).block_until_ready()
+    compile_time = time.perf_counter() - t0
+    log(f"sweep compile: {compile_time:.1f}s")
+
+    n_warm, n_timed = 3, 20
+    for i in range(n_warm):
+        key, sub = jax.random.split(key)
+        sweep(params, sub, obs).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        key, sub = jax.random.split(key)
+        out = sweep(params, sub, obs)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    sweeps_per_sec = n_timed / elapsed
+    denoiser_steps_per_sec = sweeps_per_sec * NUM_STEPS
+    log(
+        f"sweep: {1e3 * elapsed / n_timed:.2f} ms -> {sweeps_per_sec:.1f} sweeps/s, "
+        f"{denoiser_steps_per_sec:.1f} denoiser steps/s, "
+        f"{sweeps_per_sec * BATCH:.0f} latents/s"
+    )
+
+    # --- train-step benchmark (secondary) ------------------------------
+    state = agent.init_train_state(jax.random.PRNGKey(3))
+    keys = jax.random.split(jax.random.PRNGKey(4), 5)
+    batch = {
+        "observations": jax.random.normal(keys[0], (BATCH, 17)),
+        "actions": jax.random.normal(keys[1], (BATCH, 6)),
+        "rewards": jax.random.normal(keys[2], (BATCH,)),
+        "next_observations": jax.random.normal(keys[3], (BATCH, 17)),
+        "dones": jax.random.bernoulli(keys[4], 0.05, (BATCH,)),
+    }
+    t0 = time.perf_counter()
+    state, _ = agent.train_step(state, batch)
+    jax.block_until_ready(state.params)
+    log(f"train_step compile: {time.perf_counter() - t0:.1f}s")
+    n_train = 10
+    t0 = time.perf_counter()
+    for _ in range(n_train):
+        state, metrics = agent.train_step(state, batch)
+    jax.block_until_ready(state.params)
+    train_elapsed = time.perf_counter() - t0
+    log(
+        f"train_step: {1e3 * train_elapsed / n_train:.2f} ms -> "
+        f"{n_train / train_elapsed:.2f} updates/s (batch {BATCH})"
+    )
+
+    # --- result --------------------------------------------------------
+    baseline = get_baseline()
+    vs = denoiser_steps_per_sec / baseline["denoiser_steps_per_sec"]
+    log(
+        f"baseline ({baseline['framework']} on {baseline['device']}): "
+        f"{baseline['denoiser_steps_per_sec']:.1f} denoiser steps/s -> {vs:.1f}x"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "denoiser_steps_per_sec",
+                "value": round(denoiser_steps_per_sec, 2),
+                "unit": f"score-net steps/s (batch {BATCH}, K={NUM_STEPS}, "
+                f"latent {LATENT_DIM}, hidden {HIDDEN_DIM})",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

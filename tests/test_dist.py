@@ -1,0 +1,124 @@
+"""Multi-device tests on the simulated 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+from active_inference_diffusion_tpu.configs.config import (
+    ActiveInferenceConfig,
+    DiffusionConfig,
+    TrainingConfig,
+)
+from active_inference_diffusion_tpu.parallel.dist_train import (
+    make_dp_train_step,
+    make_sharded_act,
+)
+from active_inference_diffusion_tpu.parallel.mesh import (
+    make_mesh,
+    param_pspecs,
+    shard_batch,
+)
+
+
+def tiny_agent():
+    cfg = ActiveInferenceConfig(
+        observation_dim=5, action_dim=2, latent_dim=8, hidden_dim=64,
+        score_num_layers=1, batch_size=16, efe_horizon=2, num_efe_trajectories=2,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    tcfg = TrainingConfig(buffer_size=64)
+    return DiffusionStateAgent(5, 2, cfg, tcfg)
+
+
+def make_batch(key, b=16):
+    k = jax.random.split(key, 5)
+    return {
+        "observations": jax.random.normal(k[0], (b, 5)),
+        "actions": jax.random.normal(k[1], (b, 2)),
+        "rewards": jax.random.normal(k[2], (b,)),
+        "next_observations": jax.random.normal(k[3], (b, 5)),
+        "dones": jax.random.bernoulli(k[4], 0.1, (b,)),
+    }
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape == {"dp": 8, "tp": 1}
+    mesh2 = make_mesh(shape=(4, 2))
+    assert mesh2.shape == {"dp": 4, "tp": 2}
+
+
+def test_dp_train_step_matches_single_device():
+    """GSPMD data-parallel step produces the same result as single-device."""
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    # single-device result
+    s_single, m_single = agent._train_step(state, batch)
+
+    # 8-way dp result
+    mesh = make_mesh()
+    train_step, place_state, place_batch = make_dp_train_step(
+        agent, mesh, donate=False
+    )
+    s_dp, m_dp = train_step(place_state(state), place_batch(batch))
+
+    np.testing.assert_allclose(
+        float(m_single["policy_loss"]), float(m_dp["policy_loss"]), rtol=2e-4, atol=1e-5
+    )
+    # parameters agree across the two compilations
+    for group in ("policy", "value", "dynamics"):
+        a = jax.tree_util.tree_leaves(s_single.params[group])
+        b = jax.tree_util.tree_leaves(s_dp.params[group])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=5e-3, atol=1e-4)
+
+
+def test_tp_param_specs():
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    specs = param_pspecs(state.params, tp_size=2)
+    leaves = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)
+    )
+    # at least one kernel is tensor-sharded
+    assert any(s != jax.sharding.PartitionSpec() for s in leaves)
+
+
+def test_dp_tp_train_step_runs():
+    """2-way tensor parallel x 4-way data parallel compiles and executes."""
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = make_batch(jax.random.PRNGKey(1))
+    mesh = make_mesh(shape=(4, 2))
+    train_step, place_state, place_batch = make_dp_train_step(
+        agent, mesh, tp_size=2, donate=False
+    )
+    s2, metrics = train_step(place_state(state), place_batch(batch))
+    assert np.isfinite(float(metrics["policy_loss"]))
+    assert np.isfinite(float(metrics["score_matching_loss"]))
+
+
+def test_sharded_act():
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    mesh = make_mesh(shape=(8, 1))
+    act = make_sharded_act(agent, mesh, num_steps=2)
+    obs = jax.random.normal(jax.random.PRNGKey(2), (16, 5))
+    obs = jax.device_put(
+        obs, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+    )
+    actions = act(state.params, jax.random.PRNGKey(3), obs, jnp.asarray(0.1))
+    assert actions.shape == (16, 2)
+    assert np.isfinite(np.asarray(actions)).all()
+    # shards used distinct fold_in keys -> actions differ across shards
+    a = np.asarray(actions)
+    assert not np.allclose(a[:2], a[2:4])

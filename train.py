@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Training entry point for the TPU-native active-inference-diffusion framework.
+
+Counterpart of the reference CLI (reference: examples/train_mujoco.py:118-473)
+with the same flags plus ``--config`` (YAML) and ``--resume``, which the
+reference README advertises but its entry point lacks (README.md:69-81).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_configs(args):
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        PixelObservationConfig,
+        TrainingConfig,
+        load_yaml_config,
+    )
+
+    if args.config:
+        config, training_config, pixel_config = load_yaml_config(args.config)
+        config.env_name = args.env or config.env_name
+        if args.total_timesteps:
+            training_config.total_timesteps = args.total_timesteps
+    else:
+        # Reference entry-point values (examples/train_mujoco.py:150-186)
+        config = ActiveInferenceConfig(
+            env_name=args.env,
+            latent_dim=32,
+            hidden_dim=128,
+            learning_rate=5e-5,
+            batch_size=64,
+            efe_horizon=5,
+            epistemic_weight=0.1,
+            pragmatic_weight=1.0,
+            consistency_weight=0.1,
+            kl_weight=0.5,
+            diffusion_weight=1.0,
+            pixel_observation=args.pixels,
+            diffusion=DiffusionConfig(
+                num_diffusion_steps=25,
+                beta_schedule="cosine",
+                beta_start=1e-4,
+                beta_end=0.02,
+            ),
+        )
+        training_config = TrainingConfig(
+            total_timesteps=args.total_timesteps,
+            eval_frequency=10_000,
+            save_frequency=50_000,
+            log_frequency=1_000,
+            buffer_size=100_000 if not args.pixels else 15_000,
+            learning_starts=5_000,
+            gradient_steps=2,
+            exploration_noise=0.1,
+            exploration_decay=0.999,
+            num_parallel_envs=args.num_parallel_envs,
+            collect_diffusion_steps=20,
+            use_wandb=not args.no_wandb,
+        )
+        pixel_config = PixelObservationConfig() if args.pixels else None
+
+    if args.semantics:
+        config.semantics.mode = args.semantics
+    training_config.seed = args.seed
+    training_config.resume = args.resume
+    return config, training_config, pixel_config
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train diffusion active inference on MuJoCo (TPU-native)"
+    )
+    parser.add_argument(
+        "--env",
+        default="HalfCheetah-v4",
+        choices=[
+            "HalfCheetah-v4", "Hopper-v4", "Walker2d-v4",
+            "Ant-v4", "Humanoid-v4", "HumanoidStandup-v4",
+            "HalfCheetah-v5", "Hopper-v5", "Walker2d-v5",
+            "Ant-v5", "Humanoid-v5", "HumanoidStandup-v5",
+        ],
+    )
+    parser.add_argument("--pixels", action="store_true", help="Use pixel observations")
+    parser.add_argument("--total-timesteps", type=int, default=1_000_000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num-parallel-envs", type=int, default=8)
+    parser.add_argument(
+        "--env-backend", default="thread", choices=["thread", "subproc", "shmem"]
+    )
+    parser.add_argument("--config", default=None, help="YAML config file")
+    parser.add_argument("--resume", default=None, help="Checkpoint dir or path")
+    parser.add_argument("--no-wandb", action="store_true")
+    parser.add_argument(
+        "--semantics", default=None, choices=["corrected", "faithful"],
+        help="Override semantics mode (see DEVIATIONS.md)",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    from active_inference_diffusion_tpu.configs.config import config_to_dict
+    from active_inference_diffusion_tpu.parallel.collect import create_collector
+    from active_inference_diffusion_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from active_inference_diffusion_tpu.utils.logger import Logger
+    from active_inference_diffusion_tpu.utils.training import (
+        evaluate_agent,
+        plot_training_curves,
+    )
+
+    config, training_config, pixel_config = build_configs(args)
+    np.random.seed(args.seed)
+
+    # --- environments -------------------------------------------------
+    if args.pixels:
+        from active_inference_diffusion_tpu.envs.pixel_wrappers import make_pixel_mujoco
+
+        def env_fn(i):
+            return lambda: make_pixel_mujoco(
+                config.env_name,
+                width=pixel_config.image_shape[2],
+                height=pixel_config.image_shape[1],
+                frame_stack=pixel_config.frame_stack,
+                action_repeat=2,
+                seed=args.seed + i,
+            )
+
+        eval_env = env_fn(100)()
+        obs_space = eval_env.observation_space
+    else:
+        from active_inference_diffusion_tpu.envs.wrappers import make_state_env
+
+        def env_fn(i):
+            return lambda: make_state_env(config.env_name, seed=args.seed + i)
+
+        eval_env = env_fn(100)()
+        obs_space = eval_env.observation_space
+
+    action_dim = int(np.prod(eval_env.action_space.shape))
+
+    # --- agent ---------------------------------------------------------
+    if args.pixels:
+        from active_inference_diffusion_tpu.agents.pixel_agent import DiffusionPixelAgent
+
+        agent = DiffusionPixelAgent(
+            obs_shape=obs_space.shape,
+            action_dim=action_dim,
+            config=config,
+            training_config=training_config,
+            pixel_config=pixel_config,
+        )
+        obs_shape = obs_space.shape
+        obs_dtype = np.uint8
+    else:
+        from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+
+        observation_dim = int(np.prod(obs_space.shape))
+        agent = DiffusionStateAgent(
+            observation_dim, action_dim, config, training_config
+        )
+        obs_shape = (observation_dim,)
+        obs_dtype = np.float32
+
+    state = agent.init_train_state(jax.random.PRNGKey(args.seed))
+    steps_collected = 0
+    if args.resume:
+        state, meta = load_checkpoint(args.resume, state)
+        steps_collected = int(meta.get("total_steps", 0))
+        agent.exploration_noise = float(
+            meta.get("exploration_noise", agent.exploration_noise)
+        )
+        print(f"Resumed from {args.resume} at step {steps_collected}")
+
+    # --- replay + collector -------------------------------------------
+    from active_inference_diffusion_tpu.data.replay import (
+        DeviceReplayBuffer,
+        HostReplayBuffer,
+    )
+
+    if args.pixels:
+        replay = HostReplayBuffer(
+            training_config.buffer_size, obs_shape, action_dim, obs_dtype=np.uint8
+        )
+    else:
+        replay = DeviceReplayBuffer(
+            training_config.buffer_size, obs_shape, action_dim
+        )
+
+    collector = create_collector(
+        env_fn,
+        training_config.num_parallel_envs,
+        agent,
+        replay,
+        backend=args.env_backend,
+        seed=args.seed,
+        random_until=training_config.learning_starts,
+    )
+    collector.total_steps = steps_collected
+
+    logger = Logger(
+        use_wandb=training_config.use_wandb,
+        project_name=training_config.project_name,
+        experiment_name=training_config.experiment_name
+        or f"{config.env_name}_{'pixels' if args.pixels else 'states'}_seed{args.seed}",
+        config={
+            "active_inference": config_to_dict(config),
+            "training": config_to_dict(training_config),
+        },
+        log_dir=training_config.log_dir,
+    )
+    Path("plots").mkdir(exist_ok=True)
+
+    sample_key = jax.random.PRNGKey(args.seed + 1)
+
+    # --- main loop (reference examples/train_mujoco.py:264-394) --------
+    try:
+        while steps_collected < training_config.total_timesteps:
+            collection_transitions = min(
+                training_config.train_frequency * config.batch_size,
+                training_config.total_timesteps - steps_collected,
+            )
+            vec_steps = max(
+                1, collection_transitions // training_config.num_parallel_envs
+            )
+
+            t0 = time.time()
+            stats = collector.collect(state, vec_steps)
+            collect_time = time.time() - t0
+            n_collected = vec_steps * training_config.num_parallel_envs
+            steps_collected += n_collected
+
+            log_data = {
+                "parallel/collection_rate": n_collected / max(collect_time, 1e-9),
+                "parallel/collection_time": collect_time,
+                "exploration_noise": agent.exploration_noise,
+                **stats,
+            }
+            logger.log(log_data, steps_collected)
+
+            if (
+                steps_collected > training_config.learning_starts
+                and len(replay) >= config.batch_size
+            ):
+                t0 = time.time()
+                num_updates = int(training_config.gradient_steps * n_collected)
+                agg = {}
+                for _ in range(num_updates):
+                    sample_key, sub = jax.random.split(sample_key)
+                    batch = replay.sample(sub, config.batch_size)
+                    state, metrics = agent.train_step(state, batch)
+                    for k, v in metrics.items():
+                        agg.setdefault(k, []).append(float(v))
+                train_time = time.time() - t0
+                avg = {k: float(np.mean(v)) for k, v in agg.items()}
+                avg["training/time"] = train_time
+                avg["training/updates_per_second"] = num_updates / max(train_time, 1e-9)
+                if steps_collected % training_config.log_frequency < n_collected:
+                    logger.log(avg, steps_collected)
+
+            agent.update_exploration()
+
+            if steps_collected % training_config.eval_frequency < n_collected:
+                eval_metrics = evaluate_agent(
+                    agent, state, eval_env,
+                    num_episodes=training_config.num_eval_episodes,
+                )
+                logger.log(eval_metrics, steps_collected)
+                print(
+                    f"[{steps_collected}] eval reward: "
+                    f"{eval_metrics['eval/episode_reward_mean']:.2f} "
+                    f"± {eval_metrics['eval/episode_reward_std']:.2f}"
+                )
+
+            if steps_collected % training_config.save_frequency < n_collected:
+                path = save_checkpoint(
+                    training_config.checkpoint_dir, state, steps_collected,
+                    exploration_noise=agent.exploration_noise,
+                    config=config, training_config=training_config,
+                )
+                print(f"Saved checkpoint: {path}")
+
+        # final evaluation while envs are still alive
+        final_eval = evaluate_agent(agent, state, eval_env, num_episodes=20)
+        logger.log(final_eval, steps_collected)
+        print(f"Final eval reward: {final_eval['eval/episode_reward_mean']:.2f}")
+    finally:
+        collector.vec_env.close()
+        eval_env.close()
+
+    save_checkpoint(
+        training_config.checkpoint_dir, state, steps_collected,
+        exploration_noise=agent.exploration_noise,
+        config=config, training_config=training_config,
+    )
+    plot_training_curves(
+        str(logger.log_file), save_path=f"plots/{config.env_name}_training.png"
+    )
+    logger.finish()
+
+
+if __name__ == "__main__":
+    main()
