@@ -35,7 +35,11 @@ class RewardNormState(struct.PyTreeNode):
     @classmethod
     def create(cls, epsilon: float = 1e-4) -> "RewardNormState":
         return cls(
-            mean=jnp.zeros(()), var=jnp.ones(()), count=jnp.asarray(epsilon)
+            # explicit dtypes: weak-typed scalars would change avals after the
+            # first update and force a one-off recompile of the train step
+            mean=jnp.zeros((), jnp.float32),
+            var=jnp.ones((), jnp.float32),
+            count=jnp.asarray(epsilon, jnp.float32),
         )
 
     def update(self, x: jnp.ndarray) -> "RewardNormState":
@@ -159,9 +163,11 @@ class BaseAgent:
             opt_states=opt_states,
             ema_score=init_ema(params["score"]),
             time_importance=init_time_importance(),
-            epistemic_running_mean=jnp.zeros(()),
+            epistemic_running_mean=jnp.zeros((), jnp.float32),
             reward_norm=RewardNormState.create(),
-            preference_temperature=jnp.asarray(self.config.preference_temperature),
+            preference_temperature=jnp.asarray(
+                self.config.preference_temperature, jnp.float32
+            ),
             rng=state_rng,
         )
 

@@ -1,0 +1,187 @@
+"""Checkpoint/logger/viz/time-sampler/epistemic utility tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+from active_inference_diffusion_tpu.configs.config import (
+    ActiveInferenceConfig,
+    DiffusionConfig,
+    TrainingConfig,
+    config_to_dict,
+    load_yaml_config,
+)
+
+
+def tiny_agent():
+    cfg = ActiveInferenceConfig(
+        observation_dim=5, action_dim=2, latent_dim=8, hidden_dim=32,
+        score_num_layers=1, batch_size=8,
+        efe_horizon=2, num_efe_trajectories=2,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    return DiffusionStateAgent(5, 2, cfg, TrainingConfig(buffer_size=32))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from active_inference_diffusion_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    path = save_checkpoint(
+        str(tmp_path / "ckpts"), state, step=123, exploration_noise=0.07,
+        config=agent.config, training_config=agent.training_config,
+    )
+    template = agent.init_train_state(jax.random.PRNGKey(1))
+    restored, meta = load_checkpoint(path, template)
+    assert meta["total_steps"] == 123
+    assert meta["exploration_noise"] == 0.07
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # latest alias resolves
+    restored2, _ = load_checkpoint(str(tmp_path / "ckpts"), template)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored2.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
+
+def test_logger_jsonl(tmp_path):
+    from active_inference_diffusion_tpu.utils.logger import Logger
+
+    logger = Logger(use_wandb=False, experiment_name="t", log_dir=str(tmp_path))
+    logger.log({"a": 1.5, "b": jnp.asarray(2.0), "c": np.float32(3.0)}, step=10)
+    logger.log({"a": 2.5}, step=20)
+    rows = [json.loads(l) for l in open(tmp_path / "t.jsonl")]
+    assert rows[0]["a"] == 1.5 and rows[0]["b"] == 2.0 and rows[0]["step"] == 10
+    assert rows[1]["step"] == 20
+
+
+def test_yaml_config_loading(tmp_path):
+    yaml_text = """
+active_inference:
+  latent_dim: 50
+  hidden_dim: 256
+  kl_weight: 0.05
+  diffusion:
+    num_diffusion_steps: 100
+    beta_schedule: linear
+training:
+  total_timesteps: 500000
+  buffer_size: 50000
+pixel:
+  frame_stack: 2
+  image_shape: [3, 64, 64]
+"""
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml_text)
+    cfg, tcfg, pcfg = load_yaml_config(str(p))
+    assert cfg.latent_dim == 50
+    assert cfg.diffusion.num_diffusion_steps == 100
+    assert cfg.diffusion.beta_schedule == "linear"
+    assert tcfg.total_timesteps == 500_000
+    assert pcfg.frame_stack == 2
+    assert pcfg.image_shape == (3, 64, 64)
+    assert cfg.pixel_observation is True
+
+    d = config_to_dict(cfg)
+    assert d["diffusion"]["num_diffusion_steps"] == 100
+
+
+def test_yaml_unknown_key_raises(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("active_inference:\n  not_a_field: 3\n")
+    with pytest.raises(KeyError):
+        load_yaml_config(str(p))
+
+
+def test_visualize_reconstruction_state(tmp_path):
+    from active_inference_diffusion_tpu.utils.viz import visualize_reconstruction
+
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    obs = np.random.default_rng(0).normal(size=(4, 5)).astype(np.float32)
+    err = visualize_reconstruction(
+        agent, state, obs, save_path=str(tmp_path / "recon.png")
+    )
+    assert np.isfinite(err)
+    assert (tmp_path / "recon.png").exists()
+
+
+def test_plot_belief_evolution(tmp_path):
+    from active_inference_diffusion_tpu.configs.config import BeliefDynamicsConfig
+    from active_inference_diffusion_tpu.core.belief_dynamics import BeliefDynamics
+    from active_inference_diffusion_tpu.utils.viz import plot_belief_evolution
+
+    bd = BeliefDynamics(4, BeliefDynamicsConfig())
+    for _ in range(5):
+        bd.update(np.ones(4, np.float32), np.zeros(4, np.float32))
+    out = plot_belief_evolution(bd, save_path=str(tmp_path / "belief.png"))
+    assert out is not None
+    assert (tmp_path / "belief.png").exists()
+
+
+def test_time_sampler_distribution():
+    from active_inference_diffusion_tpu.core.time_sampler import (
+        importance_sample_time,
+        init_time_importance,
+        update_time_importance,
+    )
+
+    w = init_time_importance()
+    t = importance_sample_time(w, jax.random.PRNGKey(0), 10_000)
+    assert float(t.min()) >= 0.0 and float(t.max()) < 1.0
+    # uniform at init
+    hist, _ = np.histogram(np.asarray(t), bins=10, range=(0, 1))
+    assert hist.min() > 700
+
+    # after boosting weight of bin ~50, samples concentrate there
+    w2 = w.at[50].set(10.0)
+    t2 = importance_sample_time(w2, jax.random.PRNGKey(1), 10_000)
+    frac_in_bin = float(jnp.mean((t2 >= 0.50) & (t2 < 0.52)))
+    assert frac_in_bin > 0.5
+
+    # EMA update moves touched bins toward losses (bin = floor(t * 99),
+    # matching the reference discretization, core/active_inference.py:760)
+    losses = jnp.full((128,), 3.0)
+    t3 = jnp.full((128,), 0.505)
+    touched_bin = int(0.505 * 99)  # = 49
+    w3 = update_time_importance(w, t3, losses)
+    assert float(w3[touched_bin]) > float(w[touched_bin])
+    np.testing.assert_allclose(
+        np.asarray(w3[:touched_bin]), np.asarray(w[:touched_bin])
+    )
+
+
+def test_ema_loss_gradient():
+    from active_inference_diffusion_tpu.core.epistemic import ema_loss
+
+    x = jnp.array([0.5, 1.0, -0.2])
+    rm = jnp.asarray(0.0)
+
+    def f(x):
+        val, _ = ema_loss(x, rm)
+        return val
+
+    val = f(x)
+    expected = float(jnp.log(jnp.mean(jnp.exp(x))))
+    np.testing.assert_allclose(float(val), expected, rtol=1e-5)
+
+    g = jax.grad(f)(x)
+    # custom vjp: grad = exp(x) / (running_mean_after_update * N)
+    t_exp = float(jnp.mean(jnp.exp(x)))
+    expected_grad = np.exp(np.asarray(x)) / ((t_exp + 1e-6) * 3)
+    np.testing.assert_allclose(np.asarray(g), expected_grad, rtol=1e-4)
