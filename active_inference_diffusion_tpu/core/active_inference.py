@@ -121,12 +121,33 @@ class DiffusionActiveInference:
             )
             self.feature_decoder = None
         self.reward_predictor = RewardPredictor(hidden_dim=config.hidden_dim)
+        self._fused_sweep_checked: Optional[bool] = None
         self.epistemic_estimator = FunctionSpaceEpistemicEstimator(
             latent_dim=latent_dim,
             is_pixel=self.is_pixel,
             ntk_samples=4,
             spatial_aggregator_output_dim=config.spatial_aggregator_output_dim,
         )
+
+    def _use_fused_sweep(self) -> bool:
+        """Whether the Pallas fused K-step denoiser applies (flag + VMEM
+        budget + TPU backend)."""
+        if self._fused_sweep_checked is None:
+            ok = False
+            if self.config.tpu.use_pallas_denoiser:
+                from ..ops.denoise import fused_sweep_supported
+
+                try:
+                    backend_is_tpu = jax.default_backend() == "tpu"
+                except RuntimeError:
+                    backend_is_tpu = False
+                ok = backend_is_tpu and fused_sweep_supported(
+                    self.config.hidden_dim,
+                    self.latent_dim,
+                    self.config.score_num_layers,
+                )
+            self._fused_sweep_checked = ok
+        return self._fused_sweep_checked
 
     # ------------------------------------------------------------------
     # Initialization
@@ -253,27 +274,90 @@ class DiffusionActiveInference:
         compute_reconstruction: bool = True,
     ) -> BeliefInfo:
         """Run the reverse-diffusion sweep conditioned on observations and
-        return the final latent belief plus diagnostics."""
-        batch_size = observation.shape[0]
+        return the final latent belief plus diagnostics.
 
-        def score_fn(z, t, obs):
-            return self.apply_score(
-                params["score"], z, t, obs, continuous=False, train=False
+        TPU-first structure: the observation embedding is computed ONCE and
+        all K time embeddings are computed in one batched shot; the scan body
+        runs only the per-step trunk + p_sample (the reference — and a naive
+        port — recomputes the full obs encoder inside every denoising step,
+        reference core/diffusion.py:196-205)."""
+        batch_size = observation.shape[0]
+        dtype = observation.dtype
+        k = self.schedule.num_steps if num_steps is None else num_steps
+        if k > self.schedule.num_steps:
+            raise ValueError(
+                f"num_steps={k} exceeds schedule length {self.schedule.num_steps}"
             )
 
-        result = dproc.generate_latents(
-            self.schedule,
-            score_fn,
-            key,
-            batch_size,
-            self.latent_dim,
-            observation=observation,
-            num_steps=num_steps,
-            deterministic=deterministic,
-            return_trajectory=return_trajectory,
-            dtype=observation.dtype,
+        variables = {"params": params["score"]}
+        obs_emb = self.score_network.apply(
+            variables, observation, method="obs_embedding"
         )
-        latent = result.latent
+        timesteps = jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
+        t_embs = self.score_network.apply(
+            variables, timesteps.astype(dtype), continuous=False,
+            method="time_embedding",
+        )  # (K, hidden)
+
+        init_key, scan_key = jax.random.split(key)
+        z_init = jax.random.normal(init_key, (batch_size, self.latent_dim), dtype=dtype)
+
+        if self._use_fused_sweep() and not return_trajectory:
+            from ..ops.denoise import fused_denoise_sweep
+
+            seed = jax.random.randint(scan_key, (), 0, jnp.iinfo(jnp.int32).max)
+            latent = fused_denoise_sweep(
+                self.schedule, params["score"], z_init, obs_emb, t_embs,
+                seed=seed, num_steps=k, num_layers=self.config.score_num_layers,
+                deterministic=deterministic,
+            )
+            result = dproc.DenoiseResult(latent=latent, trajectory=None)
+            latent_mean = jnp.mean(latent, axis=0)
+            latent_std = jnp.where(
+                batch_size > 1,
+                jnp.std(latent, axis=0, ddof=1),
+                jnp.zeros_like(latent_mean),
+            )
+            if compute_reconstruction:
+                decoded = self.decode_observation(
+                    params, latent,
+                    decode_to_pixels=False if self.is_pixel else True,
+                )
+                reconstruction_error = jnp.mean((decoded - observation) ** 2)
+            else:
+                reconstruction_error = jnp.zeros((), dtype=latent.dtype)
+            return BeliefInfo(
+                latent=latent,
+                latent_mean=latent_mean,
+                latent_std=latent_std,
+                reconstruction_error=reconstruction_error,
+                trajectory=None,
+            )
+
+        step_keys = jax.random.split(scan_key, k)
+
+        def body(z, inputs):
+            t_scalar, t_emb, step_key = inputs
+            conditioning = obs_emb + t_emb[None, :]
+            score = self.score_network.apply(
+                variables, z, conditioning, None, method="trunk"
+            )
+            t_batch = jnp.full((batch_size,), t_scalar, dtype=jnp.int32)
+            noise = jax.random.normal(step_key, z.shape, dtype=dtype)
+            z_next = dproc.p_sample(
+                self.schedule, z, t_batch, score, noise, deterministic=deterministic
+            )
+            return z_next, (z_next if return_trajectory else None)
+
+        latent, traj = jax.lax.scan(body, z_init, (timesteps, t_embs, step_keys))
+        result = dproc.DenoiseResult(
+            latent=latent,
+            trajectory=(
+                jnp.concatenate([z_init[None], traj], axis=0)
+                if return_trajectory
+                else None
+            ),
+        )
 
         latent_mean = jnp.mean(latent, axis=0)
         latent_std = jnp.where(

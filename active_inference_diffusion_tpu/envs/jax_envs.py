@@ -1,0 +1,288 @@
+"""Pure-JAX on-device environments and the fused rollout path.
+
+No reference counterpart: the reference steps Gymnasium MuJoCo on CPU worker
+processes (SURVEY.md section 2.3). Here environments whose physics is
+expressible in JAX run *inside* the jitted program — thousands of vmapped env
+instances, zero host<->device transfer, with action selection fused into the
+same XLA program (``fused_collect``). This is the architecture MJX envs plug
+into (envs/mjx_env.py) when mujoco-mjx is installed.
+
+Included analytic envs:
+- ``Pendulum``: exact port of Gymnasium Pendulum-v1 dynamics/reward
+  (cross-validated against gymnasium in tests).
+- ``PointMass2D``: force-controlled point mass reaching a target.
+- ``Reacher2Link``: torque-controlled two-link arm (simplified inertia).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class EnvState(struct.PyTreeNode):
+    physics: jnp.ndarray  # env-specific physical state vector
+    obs: jnp.ndarray
+    reward: jnp.ndarray  # scalar
+    done: jnp.ndarray  # bool scalar
+    step_count: jnp.ndarray  # int32 scalar
+    key: jax.Array
+
+
+class JaxEnv:
+    """Static env spec; ``reset``/``step`` are pure functions of EnvState."""
+
+    observation_dim: int
+    action_dim: int
+    max_episode_steps: int = 1000
+    action_low: float = -1.0
+    action_high: float = 1.0
+
+    def reset(self, key: jax.Array) -> EnvState:
+        raise NotImplementedError
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        raise NotImplementedError
+
+    def step_autoreset(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        """Step; if the episode ended, start a fresh one (pure autoreset)."""
+        next_state = self.step(state, action)
+        reset_key, carry_key = jax.random.split(next_state.key)
+        fresh = self.reset(reset_key)
+        done = next_state.done
+        merged = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), fresh, next_state
+        )
+        # keep the reward/done of the finishing step, and a fresh key
+        return merged.replace(
+            reward=next_state.reward, done=next_state.done, key=carry_key
+        )
+
+
+class Pendulum(JaxEnv):
+    """Gymnasium Pendulum-v1 dynamics, exactly
+    (gymnasium/envs/classic_control/pendulum.py semantics)."""
+
+    observation_dim = 3
+    action_dim = 1
+    max_episode_steps = 200
+    action_low = -2.0
+    action_high = 2.0
+
+    max_speed = 8.0
+    max_torque = 2.0
+    dt = 0.05
+    g = 10.0
+    m = 1.0
+    length = 1.0
+
+    def _obs(self, theta, thetadot):
+        return jnp.stack([jnp.cos(theta), jnp.sin(theta), thetadot])
+
+    def reset(self, key: jax.Array) -> EnvState:
+        state_key, carry_key = jax.random.split(key)
+        high = jnp.array([jnp.pi, 1.0])
+        physics = jax.random.uniform(state_key, (2,), minval=-high, maxval=high)
+        return EnvState(
+            physics=physics,
+            obs=self._obs(physics[0], physics[1]),
+            reward=jnp.zeros(()),
+            done=jnp.zeros((), bool),
+            step_count=jnp.zeros((), jnp.int32),
+            key=carry_key,
+        )
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        theta, thetadot = state.physics[0], state.physics[1]
+        u = jnp.clip(action[0], -self.max_torque, self.max_torque)
+
+        angle_norm = ((theta + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        costs = angle_norm**2 + 0.1 * thetadot**2 + 0.001 * u**2
+
+        newthetadot = (
+            thetadot
+            + (
+                3.0 * self.g / (2.0 * self.length) * jnp.sin(theta)
+                + 3.0 / (self.m * self.length**2) * u
+            )
+            * self.dt
+        )
+        newthetadot = jnp.clip(newthetadot, -self.max_speed, self.max_speed)
+        newtheta = theta + newthetadot * self.dt
+
+        step_count = state.step_count + 1
+        done = step_count >= self.max_episode_steps
+        physics = jnp.stack([newtheta, newthetadot])
+        return state.replace(
+            physics=physics,
+            obs=self._obs(newtheta, newthetadot),
+            reward=-costs,
+            done=done,
+            step_count=step_count,
+        )
+
+
+class PointMass2D(JaxEnv):
+    """Force-controlled point mass; reward = -distance to target - ctrl cost."""
+
+    observation_dim = 6  # pos(2) vel(2) target(2)
+    action_dim = 2
+    max_episode_steps = 200
+    dt = 0.05
+    damping = 0.95
+
+    def reset(self, key: jax.Array) -> EnvState:
+        k1, k2, carry_key = jax.random.split(key, 3)
+        pos = jax.random.uniform(k1, (2,), minval=-1.0, maxval=1.0)
+        target = jax.random.uniform(k2, (2,), minval=-1.0, maxval=1.0)
+        physics = jnp.concatenate([pos, jnp.zeros(2), target])
+        return EnvState(
+            physics=physics,
+            obs=physics,
+            reward=jnp.zeros(()),
+            done=jnp.zeros((), bool),
+            step_count=jnp.zeros((), jnp.int32),
+            key=carry_key,
+        )
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        pos, vel, target = state.physics[:2], state.physics[2:4], state.physics[4:6]
+        force = jnp.clip(action, -1.0, 1.0)
+        vel = self.damping * vel + force * self.dt
+        pos = jnp.clip(pos + vel * self.dt, -2.0, 2.0)
+        dist = jnp.sqrt(jnp.sum((pos - target) ** 2) + 1e-12)
+        reward = -dist - 0.01 * jnp.sum(force**2)
+        step_count = state.step_count + 1
+        done = step_count >= self.max_episode_steps
+        physics = jnp.concatenate([pos, vel, target])
+        return state.replace(
+            physics=physics, obs=physics, reward=reward,
+            done=done, step_count=step_count,
+        )
+
+
+class Reacher2Link(JaxEnv):
+    """Torque-controlled planar 2-link arm (unit links, simplified diagonal
+    inertia), reaching a random target. obs = [cos q, sin q, qdot, target]."""
+
+    observation_dim = 8
+    action_dim = 2
+    max_episode_steps = 200
+    dt = 0.05
+    damping = 0.9
+
+    def _obs(self, q, qdot, target):
+        return jnp.concatenate([jnp.cos(q), jnp.sin(q), qdot, target])
+
+    def _fingertip(self, q):
+        x = jnp.cos(q[0]) * 0.5 + jnp.cos(q[0] + q[1]) * 0.5
+        y = jnp.sin(q[0]) * 0.5 + jnp.sin(q[0] + q[1]) * 0.5
+        return jnp.stack([x, y])
+
+    def reset(self, key: jax.Array) -> EnvState:
+        k1, k2, carry_key = jax.random.split(key, 3)
+        q = jax.random.uniform(k1, (2,), minval=-jnp.pi, maxval=jnp.pi)
+        r = jax.random.uniform(k2, (2,), minval=-0.8, maxval=0.8)
+        physics = jnp.concatenate([q, jnp.zeros(2), r])
+        return EnvState(
+            physics=physics,
+            obs=self._obs(q, jnp.zeros(2), r),
+            reward=jnp.zeros(()),
+            done=jnp.zeros((), bool),
+            step_count=jnp.zeros((), jnp.int32),
+            key=carry_key,
+        )
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        q, qdot, target = state.physics[:2], state.physics[2:4], state.physics[4:6]
+        torque = jnp.clip(action, -1.0, 1.0)
+        qdot = self.damping * qdot + torque * self.dt * 10.0
+        q = q + qdot * self.dt
+        tip = self._fingertip(q)
+        dist = jnp.sqrt(jnp.sum((tip - target) ** 2) + 1e-12)
+        reward = -dist - 0.01 * jnp.sum(torque**2)
+        step_count = state.step_count + 1
+        done = step_count >= self.max_episode_steps
+        physics = jnp.concatenate([q, qdot, target])
+        return state.replace(
+            physics=physics, obs=self._obs(q, qdot, target), reward=reward,
+            done=done, step_count=step_count,
+        )
+
+
+ENV_REGISTRY = {
+    "Pendulum-v1": Pendulum,
+    "PointMass2D-v0": PointMass2D,
+    "Reacher2Link-v0": Reacher2Link,
+}
+
+
+def make_jax_env(name: str) -> JaxEnv:
+    if name not in ENV_REGISTRY:
+        raise ValueError(f"Unknown JAX env {name}; have {sorted(ENV_REGISTRY)}")
+    return ENV_REGISTRY[name]()
+
+
+class Transitions(NamedTuple):
+    """(T, N, ...) batched transition arrays from a fused rollout."""
+
+    observations: jnp.ndarray
+    actions: jnp.ndarray
+    rewards: jnp.ndarray
+    next_observations: jnp.ndarray
+    dones: jnp.ndarray
+
+
+def fused_collect(
+    env: JaxEnv,
+    policy_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+    key: jax.Array,
+    num_envs: int,
+    num_steps: int,
+    env_states: Optional[EnvState] = None,
+) -> Tuple[Transitions, EnvState]:
+    """Fully-fused on-device rollout: ``num_envs`` vmapped env instances
+    stepped ``num_steps`` times inside one scan, with batched action
+    selection fused in. This single function replaces the reference's
+    SubprocVectorEnv/ShmemVectorEnv/GPUCentralizedCollector process machinery
+    (reference: envs/vec_env.py, utils/async_collector.py) for JAX-native
+    envs — there is no process boundary left to cross.
+
+    ``policy_fn(obs_batch, key) -> action_batch`` is typically the agent's
+    diffusion-belief + policy program.
+    """
+    reset_key, scan_key = jax.random.split(key)
+    if env_states is None:
+        env_states = jax.vmap(env.reset)(jax.random.split(reset_key, num_envs))
+
+    step_env = jax.vmap(env.step_autoreset)
+
+    def body(carry, step_key):
+        states = carry
+        obs = states.obs
+        act_key, _ = jax.random.split(step_key)
+        actions = policy_fn(obs, act_key)
+        next_states = step_env(states, actions)
+        transition = Transitions(
+            observations=obs,
+            actions=actions,
+            rewards=next_states.reward,
+            next_observations=next_states.obs,
+            dones=next_states.done,
+        )
+        return next_states, transition
+
+    final_states, transitions = jax.lax.scan(
+        body, env_states, jax.random.split(scan_key, num_steps)
+    )
+    return transitions, final_states
+
+
+def flatten_transitions(t: Transitions) -> Transitions:
+    """(T, N, ...) -> (T*N, ...)."""
+    return Transitions(
+        *[x.reshape((-1,) + x.shape[2:]) for x in t]
+    )

@@ -6,16 +6,19 @@ TPU-native counterpart of the reference's ``LatentScoreNetwork``
 Design notes (TPU-first, not a translation):
 
 - The reference runs multi-head self-attention over a *single token*
-  (models/score_networks.py:225: ``norm_x.unsqueeze(1)`` then MHA). At sequence
-  length 1 the softmax over one key is identically 1, so MHA degenerates to
-  ``out_proj(v_proj(x))`` — two plain matmuls. ``SingleTokenAttention``
-  implements exactly that, keeping the math identical while avoiding the
-  attention machinery entirely (better MXU utilization, no wasted q/k
-  projections at inference; q/k projections exist only as parameters when
-  ``parity_params=True``).
+  (models/score_networks.py:225: ``norm_x.unsqueeze(1)`` then MHA). At
+  sequence length 1 the softmax over one key is identically 1, so MHA
+  degenerates to ``out_proj(v_proj(x))`` — two plain matmuls.
+  ``SingleTokenAttention`` implements exactly that.
 - Continuous-vs-discrete time is a *static* flag (``continuous=...``) rather
   than the reference's data-dependent ``time.max() <= 1`` check
   (models/score_networks.py:121), which would break XLA tracing.
+- The network is factored into ``obs_embedding`` / ``time_embedding`` /
+  ``trunk`` methods so the reverse-diffusion sweep can hoist the
+  observation conditioning OUT of the K-step scan and precompute all K time
+  embeddings in one shot (the reference — and a naive port — recomputes the
+  full obs encoder every denoising step). ``__call__`` composes them and is
+  semantically identical to the reference's forward.
 """
 
 from __future__ import annotations
@@ -30,12 +33,7 @@ from .common import AdaptiveLayerNorm, SinusoidalPositionEmbeddings
 
 
 class SingleTokenAttention(nn.Module):
-    """Self-attention specialized to sequence length 1.
-
-    Mathematically identical to nn.MultiheadAttention applied to a single
-    token: attention weights are softmax over one key (== 1), so
-    out = W_o (W_v x + b_v) + b_o.
-    """
+    """Self-attention specialized to sequence length 1: out_proj(v_proj(x))."""
 
     hidden_dim: int
 
@@ -80,7 +78,97 @@ class LatentScoreNetwork(nn.Module):
     output_scale: float = 1e-3
     dropout_rate: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        h = self.hidden_dim
+        # sinusoidal time path (reference :40-46)
+        self.time_embed_sin = SinusoidalPositionEmbeddings(self.time_embed_dim)
+        self.time_embed_fc1 = nn.Dense(h * 2)
+        self.time_embed_fc2 = nn.Dense(h)
+        # continuous-time MLP path (reference :60-66)
+        self.cont_time_fc1 = nn.Dense(self.time_embed_dim)
+        self.cont_time_fc2 = nn.Dense(self.time_embed_dim)
+        self.cont_time_fc3 = nn.Dense(h)
+        self.time_scale = self.param("time_scale", nn.initializers.ones, (1,))
+        # observation encoder (reference :49-59)
+        self.obs_fc1 = nn.Dense(h)
+        self.obs_ln1 = nn.LayerNorm()
+        self.obs_drop = nn.Dropout(self.dropout_rate)
+        self.obs_fc2 = nn.Dense(h)
+        self.obs_ln2 = nn.LayerNorm()
+        self.obs_fc3 = nn.Dense(h)
+        self.obs_ln3 = nn.LayerNorm()
+        # latent trunk
+        self.latent_proj = nn.Dense(h)
+        if self.use_attention:
+            self.blocks = [
+                DiTBlock(h, name=f"block_{i}") for i in range(self.num_layers)
+            ]
+        self.norm_final = AdaptiveLayerNorm(h)
+        self.out_fc1 = nn.Dense(h // 2)
+        self.out_fc2 = nn.Dense(
+            self.latent_dim, use_bias=False, kernel_init=nn.initializers.zeros
+        )
+        self.output_multiplier = self.param(
+            "output_multiplier",
+            lambda key, shape: jnp.full(shape, self.output_scale),
+            (1,),
+        )
+
+    # -- conditioning pieces (hoistable out of the denoise scan) ---------
+
+    def obs_embedding(self, observation: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = self.obs_fc1(observation)
+        x = self.obs_ln1(x)
+        x = jax.nn.silu(x)
+        x = self.obs_drop(x, deterministic=not train)
+        x = self.obs_fc2(x)
+        x = self.obs_ln2(x)
+        x = jax.nn.silu(x)
+        x = self.obs_fc3(x)
+        return self.obs_ln3(x)
+
+    def time_embedding(self, time: jnp.ndarray, continuous: bool = True) -> jnp.ndarray:
+        """Embed times (any batch shape). Continuous path combines sinusoidal
+        and learned-MLP embeddings (reference :119-141)."""
+
+        def sin_path(t):
+            emb = self.time_embed_sin(t)
+            emb = self.time_embed_fc1(emb)
+            emb = jax.nn.silu(emb)
+            return self.time_embed_fc2(emb)
+
+        if not continuous:
+            return sin_path(time)
+        t_sin = sin_path(time * 999.0)
+        t_cont = (2.0 * time - 1.0)[:, None]
+        t_cont = jax.nn.silu(self.cont_time_fc1(t_cont))
+        t_cont = jax.nn.silu(self.cont_time_fc2(t_cont))
+        t_cont = self.cont_time_fc3(t_cont)
+        return t_sin + self.time_scale * t_cont
+
+    # -- per-step trunk ---------------------------------------------------
+
+    def trunk(
+        self,
+        z_t: jnp.ndarray,
+        conditioning: jnp.ndarray,
+        time_weight: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Score head given precomputed conditioning (t_emb + obs_emb)."""
+        h = self.latent_proj(z_t)
+        if self.use_attention:
+            for block in self.blocks:
+                h = block(h, conditioning)
+        h = self.norm_final(h, conditioning)
+        h = self.out_fc1(h)
+        h = jax.nn.silu(h)
+        score = self.out_fc2(h)
+        score = jnp.clip(score, -10.0, 10.0)
+        score = score * self.output_multiplier
+        if time_weight is not None:
+            score = score * time_weight
+        return score
+
     def __call__(
         self,
         z_t: jnp.ndarray,
@@ -91,72 +179,14 @@ class LatentScoreNetwork(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         batch_size = z_t.shape[0]
-
-        # --- Time embedding (dual path, reference :40-46,60-69,119-141) ---
-        def time_embed(t):
-            emb = SinusoidalPositionEmbeddings(self.time_embed_dim, name="time_embed_sin")(t)
-            emb = nn.Dense(self.hidden_dim * 2, name="time_embed_fc1")(emb)
-            emb = jax.nn.silu(emb)
-            return nn.Dense(self.hidden_dim, name="time_embed_fc2")(emb)
-
-        if continuous:
-            # Continuous t in [0, 1]: sinusoidal embedding of the discrete
-            # equivalent plus a learned continuous-time MLP embedding.
-            t_sin = time_embed(time * 999.0)
-            normalized_time = (2.0 * time - 1.0)[:, None]
-            t_cont = normalized_time
-            for i, feat in enumerate([self.time_embed_dim, self.time_embed_dim]):
-                t_cont = nn.Dense(feat, name=f"cont_time_fc{i + 1}")(t_cont)
-                t_cont = jax.nn.silu(t_cont)
-            t_cont = nn.Dense(self.hidden_dim, name="cont_time_fc3")(t_cont)
-            time_scale = self.param("time_scale", nn.initializers.ones, (1,))
-            t_emb = t_sin + time_scale * t_cont
-            # Annealed output scaling 1/sqrt(t) (reference :137).
-            time_weight = jnp.sqrt(1.0 / (1e-5 + time))[:, None]
-        else:
-            t_emb = time_embed(time)
-            time_weight = None
-
-        # --- Observation conditioning (reference :49-59,144-149) ---
+        t_emb = self.time_embedding(time, continuous=continuous)
         if observation is not None:
-            h_obs = observation
-            h_obs = nn.Dense(self.hidden_dim, name="obs_fc1")(h_obs)
-            h_obs = nn.LayerNorm(name="obs_ln1")(h_obs)
-            h_obs = jax.nn.silu(h_obs)
-            h_obs = nn.Dropout(self.dropout_rate, deterministic=not train)(h_obs)
-            h_obs = nn.Dense(self.hidden_dim, name="obs_fc2")(h_obs)
-            h_obs = nn.LayerNorm(name="obs_ln2")(h_obs)
-            h_obs = jax.nn.silu(h_obs)
-            h_obs = nn.Dense(self.hidden_dim, name="obs_fc3")(h_obs)
-            obs_emb = nn.LayerNorm(name="obs_ln3")(h_obs)
+            obs_emb = self.obs_embedding(observation, train=train)
         else:
             obs_emb = jnp.zeros((batch_size, self.hidden_dim), dtype=z_t.dtype)
-
         conditioning = t_emb + obs_emb
-
-        # --- Latent trunk ---
-        h = nn.Dense(self.hidden_dim, name="latent_proj")(z_t)
-        if self.use_attention:
-            for i in range(self.num_layers):
-                h = DiTBlock(self.hidden_dim, name=f"block_{i}")(h, conditioning)
-
-        h = AdaptiveLayerNorm(self.hidden_dim, name="norm_final")(h, conditioning)
-        h = nn.Dense(self.hidden_dim // 2, name="out_fc1")(h)
-        h = jax.nn.silu(h)
-        # Final layer zero-initialized, no bias (reference :92-99).
-        score = nn.Dense(
-            self.latent_dim,
-            use_bias=False,
-            kernel_init=nn.initializers.zeros,
-            name="out_fc2",
-        )(h)
-        score = jnp.clip(score, -10.0, 10.0)
-        output_multiplier = self.param(
-            "output_multiplier",
-            lambda key, shape: jnp.full(shape, self.output_scale),
-            (1,),
+        # Annealed output scaling 1/sqrt(t) on the continuous path (:137)
+        time_weight = (
+            jnp.sqrt(1.0 / (1e-5 + time))[:, None] if continuous else None
         )
-        score = score * output_multiplier
-        if continuous:
-            score = score * time_weight
-        return score
+        return self.trunk(z_t, conditioning, time_weight)

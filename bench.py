@@ -105,10 +105,50 @@ def main():
     sweeps_per_sec = n_timed / elapsed
     denoiser_steps_per_sec = sweeps_per_sec * NUM_STEPS
     log(
-        f"sweep: {1e3 * elapsed / n_timed:.2f} ms -> {sweeps_per_sec:.1f} sweeps/s, "
+        f"sweep (XLA scan): {1e3 * elapsed / n_timed:.2f} ms -> "
+        f"{sweeps_per_sec:.1f} sweeps/s, "
         f"{denoiser_steps_per_sec:.1f} denoiser steps/s, "
         f"{sweeps_per_sec * BATCH:.0f} latents/s"
     )
+
+    # --- Pallas fused-kernel sweep -------------------------------------
+    if dev.platform == "tpu":
+        try:
+            config.tpu.use_pallas_denoiser = True
+            agent.core._fused_sweep_checked = None  # re-evaluate flag
+
+            @jax.jit
+            def sweep_pallas(params, key, observations):
+                return agent.core.generate_beliefs(
+                    params, key, observations, compute_reconstruction=False
+                ).latent
+
+            t0 = time.perf_counter()
+            sweep_pallas(params, key, obs).block_until_ready()
+            log(f"pallas sweep compile: {time.perf_counter() - t0:.1f}s")
+            for _ in range(n_warm):
+                key, sub = jax.random.split(key)
+                sweep_pallas(params, sub, obs).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(n_timed):
+                key, sub = jax.random.split(key)
+                out = sweep_pallas(params, sub, obs)
+            out.block_until_ready()
+            p_elapsed = time.perf_counter() - t0
+            p_sweeps = n_timed / p_elapsed
+            log(
+                f"sweep (Pallas fused): {1e3 * p_elapsed / n_timed:.2f} ms -> "
+                f"{p_sweeps:.1f} sweeps/s, {p_sweeps * NUM_STEPS:.1f} denoiser "
+                f"steps/s ({p_sweeps / sweeps_per_sec:.2f}x vs XLA scan)"
+            )
+            if p_sweeps > sweeps_per_sec:
+                sweeps_per_sec = p_sweeps
+                denoiser_steps_per_sec = p_sweeps * NUM_STEPS
+        except Exception as e:
+            log(f"pallas sweep unavailable: {type(e).__name__}: {e}")
+        finally:
+            config.tpu.use_pallas_denoiser = False
+            agent.core._fused_sweep_checked = None
 
     # --- train-step benchmark (secondary) ------------------------------
     state = agent.init_train_state(jax.random.PRNGKey(3))
