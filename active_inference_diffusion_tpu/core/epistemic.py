@@ -187,7 +187,7 @@ class FunctionSpaceEpistemicEstimator(nn.Module):
         # Learnable probe scale; only affects finite-difference mode but is
         # registered unconditionally for checkpoint-shape stability
         # (reference: core/active_inference.py:863).
-        self.param("perturbation_scale", lambda k, s: jnp.asarray(0.1), ())
+        self.param("perturbation_scale", lambda k, s: jnp.asarray(0.1, jnp.float32), ())
         jac, lat = EpistemicStatisticsNetwork(
             latent_dim=self.latent_dim,
             is_pixel=self.is_pixel,

@@ -196,3 +196,84 @@ class HostReplayBuffer:
 
     def __len__(self) -> int:
         return self.size
+
+
+class CompressedReplayBuffer:
+    """Pixel replay with per-item compressed storage (the reference's
+    ``optimize_memory=True`` intent, utils/buffers.py:33-42,113-138 — whose
+    ``sample()`` crashes as written). Uses the native LZ4-block codec
+    (active_inference_diffusion_tpu/native) with zlib fallback."""
+
+    def __init__(self, capacity: int, obs_shape: Tuple[int, ...], action_dim: int):
+        self.capacity = capacity
+        self.obs_shape = tuple(obs_shape)
+        self.observations: list = [None] * capacity
+        self.next_observations: list = [None] * capacity
+        self.actions = np.zeros((capacity, action_dim), np.float32)
+        self.rewards = np.zeros((capacity,), np.float32)
+        self.dones = np.zeros((capacity,), bool)
+        self.pos = 0
+        self.size = 0
+        self._rng = np.random.default_rng(0)
+
+        try:
+            from ..native import compress, decompress, native_available
+
+            if native_available():
+                self._compress = compress
+                self._decompress = lambda blob: decompress(blob, self.obs_shape)
+            else:
+                raise ImportError
+        except Exception:
+            import zlib
+
+            self._compress = lambda a: zlib.compress(
+                np.ascontiguousarray(a).tobytes(), 1
+            )
+            self._decompress = lambda blob: np.frombuffer(
+                zlib.decompress(blob), np.uint8
+            ).reshape(self.obs_shape)
+
+    @staticmethod
+    def _to_uint8(obs: np.ndarray) -> np.ndarray:
+        obs = np.asarray(obs)
+        if obs.dtype != np.uint8:
+            if obs.max() <= 1.0:
+                obs = (obs * 255).astype(np.uint8)
+            else:
+                obs = obs.astype(np.uint8)
+        return obs
+
+    def add(self, obs, action, reward, next_obs, done):
+        i = self.pos
+        self.observations[i] = self._compress(self._to_uint8(obs))
+        self.next_observations[i] = self._compress(self._to_uint8(next_obs))
+        self.actions[i] = action
+        self.rewards[i] = reward
+        self.dones[i] = bool(done)
+        self.pos = (self.pos + 1) % self.capacity
+        self.size = min(self.size + 1, self.capacity)
+
+    def add_batch(self, obs, actions, rewards, next_obs, dones):
+        for i in range(len(obs)):
+            self.add(obs[i], actions[i], rewards[i], next_obs[i], dones[i])
+
+    def sample(self, key, batch_size: int) -> Dict[str, jnp.ndarray]:
+        del key
+        indices = self._rng.integers(0, max(self.size, 1), batch_size)
+        obs = np.stack(
+            [self._decompress(self.observations[i]) for i in indices]
+        ).astype(np.float32) / 255.0
+        next_obs = np.stack(
+            [self._decompress(self.next_observations[i]) for i in indices]
+        ).astype(np.float32) / 255.0
+        return {
+            "observations": jnp.asarray(obs),
+            "actions": jnp.asarray(self.actions[indices]),
+            "rewards": jnp.asarray(self.rewards[indices]),
+            "next_observations": jnp.asarray(next_obs),
+            "dones": jnp.asarray(self.dones[indices]),
+        }
+
+    def __len__(self) -> int:
+        return self.size

@@ -110,7 +110,7 @@ class LatentScoreNetwork(nn.Module):
         )
         self.output_multiplier = self.param(
             "output_multiplier",
-            lambda key, shape: jnp.full(shape, self.output_scale),
+            lambda key, shape: jnp.full(shape, self.output_scale, jnp.float32),
             (1,),
         )
 

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Fully-fused on-device training: JAX-native env rollouts + diffusion active
+inference, no host env processes.
+
+This is the architecture the reference cannot express: its collectors exist
+because env stepping (CPU MuJoCo) and inference (GPU) live on different
+devices (reference: utils/async_collector.py, envs/parallel_wrapper.py).
+With a JAX-native env (envs/jax_envs.py; MJX when installed), rollout,
+denoising, and learning are all XLA programs — the host only logs.
+
+Usage: python examples/train_fused.py --env Pendulum-v1 --iterations 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", default="Pendulum-v1",
+                        choices=["Pendulum-v1", "PointMass2D-v0", "Reacher2Link-v0"])
+    parser.add_argument("--num-envs", type=int, default=64)
+    parser.add_argument("--steps-per-iter", type=int, default=32)
+    parser.add_argument("--updates-per-iter", type=int, default=8)
+    parser.add_argument("--iterations", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        TrainingConfig,
+    )
+    from active_inference_diffusion_tpu.data.replay import (
+        replay_add_batch,
+        replay_init,
+        replay_sample,
+    )
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        flatten_transitions,
+        fused_collect,
+        make_jax_env,
+    )
+    from active_inference_diffusion_tpu.utils.logger import Logger
+
+    env = make_jax_env(args.env)
+    config = ActiveInferenceConfig(
+        observation_dim=env.observation_dim,
+        action_dim=env.action_dim,
+        latent_dim=16,
+        hidden_dim=64,
+        score_num_layers=2,
+        batch_size=128,
+        efe_horizon=3,
+        num_efe_trajectories=4,
+        learning_rate=3e-4,
+        diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+    )
+    training_config = TrainingConfig(buffer_size=50_000)
+    agent = DiffusionStateAgent(
+        env.observation_dim, env.action_dim, config, training_config
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(args.seed))
+
+    replay = replay_init(
+        training_config.buffer_size, (env.observation_dim,), env.action_dim
+    )
+
+    act_scale = env.action_high
+
+    def policy_fn_builder(params, noise_scale):
+        def policy_fn(obs, key):
+            belief_key, act_key = jax.random.split(key)
+            belief = agent.core.generate_beliefs(
+                params, belief_key, obs, compute_reconstruction=False
+            )
+            dist = agent.core.apply_policy(params["policy"], belief.latent)
+            action = dist.sample(act_key)
+            return jnp.clip(action, -1.0, 1.0) * act_scale
+
+        return policy_fn
+
+    @jax.jit
+    def collect_and_store(params, replay, env_states, key, noise_scale):
+        transitions, env_states = fused_collect(
+            env,
+            policy_fn_builder(params, noise_scale),
+            key,
+            args.num_envs,
+            args.steps_per_iter,
+            env_states=env_states,
+        )
+        flat = flatten_transitions(transitions)
+        replay = replay_add_batch(
+            replay, flat.observations, flat.actions, flat.rewards,
+            flat.next_observations, flat.dones,
+        )
+        mean_reward = jnp.mean(flat.rewards)
+        return replay, env_states, mean_reward
+
+    logger = Logger(use_wandb=False, experiment_name=f"fused_{args.env}")
+    key = jax.random.PRNGKey(args.seed + 1)
+    env_states = None
+    total_steps = 0
+
+    for it in range(args.iterations):
+        t0 = time.perf_counter()
+        key, ckey = jax.random.split(key)
+        replay, env_states, mean_reward = collect_and_store(
+            state.params, replay, env_states, ckey,
+            jnp.asarray(agent.exploration_noise),
+        )
+        total_steps += args.num_envs * args.steps_per_iter
+
+        metrics = {}
+        if int(replay.size) >= config.batch_size:
+            for _ in range(args.updates_per_iter):
+                key, skey = jax.random.split(key)
+                batch = replay_sample(replay, skey, config.batch_size)
+                state, metrics = agent.train_step(state, batch)
+        agent.update_exploration()
+        dt = time.perf_counter() - t0
+
+        log = {
+            "fused/mean_step_reward": float(mean_reward),
+            "fused/env_steps_per_sec": args.num_envs * args.steps_per_iter / dt,
+            **{k: float(v) for k, v in metrics.items()},
+        }
+        logger.log(log, total_steps)
+        if it % 10 == 0 or it == args.iterations - 1:
+            print(
+                f"[iter {it}] steps={total_steps} "
+                f"mean_step_reward={float(mean_reward):.3f} "
+                f"steps/s={log['fused/env_steps_per_sec']:.0f}"
+            )
+
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -195,3 +195,15 @@ def test_reward_normalizer_welford():
     np.testing.assert_allclose(float(rn.var), flat.var(), rtol=1e-2)
     normed = np.asarray(rn.normalize(jnp.asarray(flat)))
     np.testing.assert_allclose(normed.mean(), 0.0, atol=1e-2)
+
+
+def test_train_step_compiles_once_across_chained_steps():
+    """Regression: chained train steps must not retrigger compilation (weak
+    dtypes in the state previously forced a one-off ~60s recompile)."""
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = make_batch(jax.random.PRNGKey(1))
+    for _ in range(3):
+        state, _ = agent.train_step(state, batch)
+    assert agent._train_step._cache_size() == 1

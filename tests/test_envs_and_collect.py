@@ -155,3 +155,38 @@ def test_collector_with_tiny_agent():
     assert stats["collect/total_env_steps"] == 10.0
     assert "collect/steps_per_sec" in stats
     vec.close()
+
+
+def test_native_codec_roundtrip():
+    import pytest
+
+    from active_inference_diffusion_tpu.native import (
+        compress,
+        decompress,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("g++ unavailable; native codec not built")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (3, 16, 16), dtype=np.uint8)
+    # make it compressible
+    img[:, ::2] = img[:, 1::2]
+    blob = compress(img)
+    out = decompress(blob, img.shape)
+    assert (out == img).all()
+
+
+def test_compressed_replay_buffer():
+    from active_inference_diffusion_tpu.data.replay import CompressedReplayBuffer
+
+    buf = CompressedReplayBuffer(capacity=8, obs_shape=(2, 3, 4, 4), action_dim=2)
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        obs = rng.integers(0, 256, (2, 3, 4, 4), dtype=np.uint8)
+        buf.add(obs, np.zeros(2, np.float32), float(i), obs, False)
+    assert len(buf) == 8
+    batch = buf.sample(None, 4)
+    assert batch["observations"].shape == (4, 2, 3, 4, 4)
+    assert float(batch["observations"].max()) <= 1.0
+    assert batch["observations"].dtype == np.float32 or str(batch["observations"].dtype) == "float32"

@@ -269,6 +269,25 @@ def main():
 
             agent.update_exploration()
 
+            # reconstruction visualization every 5k steps
+            # (reference examples/train_mujoco.py:357-366)
+            if (
+                steps_collected > training_config.learning_starts
+                and steps_collected % 5000 < n_collected
+                and len(replay) > 4
+            ):
+                from active_inference_diffusion_tpu.utils.viz import (
+                    visualize_reconstruction,
+                )
+
+                sample_key, sub = jax.random.split(sample_key)
+                sample = replay.sample(sub, 4)
+                recon_error = visualize_reconstruction(
+                    agent, state, sample["observations"],
+                    save_path=f"plots/reconstruction_step_{steps_collected}.png",
+                )
+                logger.log({"reconstruction_error": recon_error}, steps_collected)
+
             if steps_collected % training_config.eval_frequency < n_collected:
                 eval_metrics = evaluate_agent(
                     agent, state, eval_env,
