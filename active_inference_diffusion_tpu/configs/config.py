@@ -87,8 +87,22 @@ class SemanticsConfig:
 class TpuConfig:
     """TPU execution configuration (new; no reference equivalent)."""
 
-    compute_dtype: str = "float32"  # "float32" | "bfloat16" for matmul inputs
-    use_pallas_denoiser: bool = False  # fused Pallas K-step denoiser (ops/denoise.py)
+    # "float32" | "bfloat16": matmul-kernel dtype inside the fused Pallas
+    # denoiser (halves VMEM weight footprint, full-rate MXU). XLA-compiled
+    # f32 matmuls already run as bf16 MXU passes under JAX's default matmul
+    # precision, so this only affects the Pallas path.
+    compute_dtype: str = "float32"
+    # Fused Pallas K-step denoiser (ops/denoise.py). Safe to enable: the
+    # runtime gate (DiffusionActiveInference._use_fused_sweep) only engages it
+    # on a TPU backend when the trunk weights fit the VMEM budget, and belief
+    # sweeps are always consumed under stop_gradient (the ELBO differentiates
+    # single score-net applications, never the sweep). Default off: interleaved
+    # A/B on v5e at the flagship config (batch 256, hidden 128, K=25) measures
+    # the XLA scan at ~0.9-1.0x the kernel's latency — XLA already keeps this
+    # sweep compute-bound — so the kernel is an opt-in for configs where
+    # weight re-streaming dominates; bench.py measures both and reports the
+    # faster.
+    use_pallas_denoiser: bool = False
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("dp",)
     donate_buffers: bool = True

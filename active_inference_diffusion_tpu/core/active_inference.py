@@ -310,6 +310,11 @@ class DiffusionActiveInference:
                 self.schedule, params["score"], z_init, obs_emb, t_embs,
                 seed=seed, num_steps=k, num_layers=self.config.score_num_layers,
                 deterministic=deterministic,
+                compute_dtype=(
+                    jnp.bfloat16
+                    if self.config.tpu.compute_dtype == "bfloat16"
+                    else jnp.float32
+                ),
             )
             result = dproc.DenoiseResult(latent=latent, trajectory=None)
             latent_mean = jnp.mean(latent, axis=0)
@@ -553,6 +558,11 @@ class DiffusionActiveInference:
                 params["score"], z, t, observations,
                 continuous=True, train=train, dropout_key=drop2,
             )
+
+        if self.config.tpu.remat_score_network:
+            # Rematerialize the score forward in the backward pass: trades
+            # FLOPs for activation memory (useful at large hidden_dim/batch).
+            score_at = jax.checkpoint(score_at)
 
         predicted_score = score_at(noisy_latents)
         true_score = -noise / (qinfo["sigma"] + 1e-8)

@@ -36,6 +36,20 @@ from ..core.schedules import DiffusionSchedule
 LN_EPS = 1e-6
 
 
+def bits_to_normal(bits1: jnp.ndarray, bits2: jnp.ndarray) -> jnp.ndarray:
+    """Box-Muller N(0,1) from two int32 random-bit arrays.
+
+    TPU ``pltpu.prng_random_bits`` yields *signed* int32; a right-shift would
+    keep the sign and produce negative uniforms (log -> NaN), so the low 24
+    bits are masked out instead. Kept as a standalone function so the bit
+    manipulation is unit-testable off-TPU (interpret mode cannot execute the
+    TPU PRNG primitives)."""
+    u1 = (bits1 & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    u2 = (bits2 & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * math.pi * u2)
+
+
 # ---------------------------------------------------------------------------
 # Weight extraction: flax param tree -> stacked arrays
 # ---------------------------------------------------------------------------
@@ -151,7 +165,10 @@ def _denoise_kernel(
 
     def mm(x, w_ref, b_ref=None, idx=None):
         w = w_ref[idx] if idx is not None else w_ref[:]
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        # Matmul inputs follow the stored weight dtype (bfloat16 when
+        # TpuConfig.compute_dtype selects it -> full-rate MXU passes);
+        # accumulation is always float32.
+        y = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
         if b_ref is not None:
             b = b_ref[idx] if idx is not None else b_ref[:]
             y = y + b[None, :]
@@ -164,13 +181,10 @@ def _denoise_kernel(
         return _ln(x) * (1.0 + scale) + shift
 
     def normal_like(shape):
-        # Box-Muller over TPU PRNG bits -> N(0, 1)
-        bits1 = pltpu.prng_random_bits(shape)
-        bits2 = pltpu.prng_random_bits(shape)
-        u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-        u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        return r * jnp.cos(2.0 * math.pi * u2)
+        # Box-Muller over TPU PRNG bits -> N(0, 1); see bits_to_normal.
+        return bits_to_normal(
+            pltpu.prng_random_bits(shape), pltpu.prng_random_bits(shape)
+        )
 
     mult = coeffs_ref[0, 6]
 
@@ -215,11 +229,22 @@ def fused_denoise_sweep(
     deterministic: bool = False,
     batch_tile: int = 256,
     interpret: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """Run the full K-step denoise as one Pallas kernel. Returns z_0 (B, D)."""
+    """Run the full K-step denoise as one Pallas kernel. Returns z_0 (B, D).
+
+    ``compute_dtype=jnp.bfloat16`` stores the matmul kernels in bfloat16
+    (halving their VMEM footprint and doubling MXU throughput); biases,
+    layernorms, and the p_sample state update stay float32.
+    """
     b, d = z0.shape
     h = obs_emb.shape[-1]
     w = extract_trunk_weights(score_params, num_layers)
+    if compute_dtype != jnp.float32:
+        w = {
+            k: (v.astype(compute_dtype) if k.endswith("_w") else v)
+            for k, v in w.items()
+        }
     coeffs = sweep_coefficients(schedule, num_steps, deterministic)
     # stash the output multiplier in a spare coefficient column
     coeffs = coeffs.at[0, 6].set(w["output_multiplier"][0])

@@ -53,6 +53,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache for repeat runs — but NOT under the axon
+    # TPU tunnel: its remote-compile path hangs indefinitely when asked to
+    # serialize executables for the cache (measured: 185s compile without
+    # the cache vs >15min stall with it).
+    import os as _os
+
+    if not _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
     from active_inference_diffusion_tpu.configs.config import (
         ActiveInferenceConfig,
@@ -73,6 +83,7 @@ def main():
         diffusion=DiffusionConfig(num_diffusion_steps=NUM_STEPS, beta_schedule="cosine"),
     )
     config.tpu.donate_buffers = False
+    config.tpu.use_pallas_denoiser = False  # measure the plain XLA scan first
     agent = DiffusionStateAgent(17, 6, config, TrainingConfig(buffer_size=2048))
     params = agent.core.init_params(jax.random.PRNGKey(0))
 
@@ -90,6 +101,9 @@ def main():
     sweep(params, key, obs).block_until_ready()
     compile_time = time.perf_counter() - t0
     log(f"sweep compile: {compile_time:.1f}s")
+
+    if not bool(jnp.isfinite(sweep(params, key, obs)).all()):
+        raise RuntimeError("XLA sweep produced non-finite latents")
 
     n_warm, n_timed = 3, 20
     for i in range(n_warm):
@@ -124,8 +138,11 @@ def main():
                 ).latent
 
             t0 = time.perf_counter()
-            sweep_pallas(params, key, obs).block_until_ready()
+            first = sweep_pallas(params, key, obs)
+            first.block_until_ready()
             log(f"pallas sweep compile: {time.perf_counter() - t0:.1f}s")
+            if not bool(jnp.isfinite(first).all()):
+                raise RuntimeError("pallas sweep produced non-finite latents")
             for _ in range(n_warm):
                 key, sub = jax.random.split(key)
                 sweep_pallas(params, sub, obs).block_until_ready()
@@ -147,6 +164,7 @@ def main():
         except Exception as e:
             log(f"pallas sweep unavailable: {type(e).__name__}: {e}")
         finally:
+            # train-step benchmark uses the production default (XLA scan)
             config.tpu.use_pallas_denoiser = False
             agent.core._fused_sweep_checked = None
 
@@ -161,9 +179,12 @@ def main():
         "dones": jax.random.bernoulli(keys[4], 0.05, (BATCH,)),
     }
     t0 = time.perf_counter()
-    state, _ = agent.train_step(state, batch)
+    state, first_metrics = agent.train_step(state, batch)
     jax.block_until_ready(state.params)
     log(f"train_step compile: {time.perf_counter() - t0:.1f}s")
+    bad = [k for k, v in first_metrics.items() if not bool(jnp.isfinite(v))]
+    if bad:
+        raise RuntimeError(f"train_step produced non-finite metrics: {bad}")
     n_train = 10
     t0 = time.perf_counter()
     for _ in range(n_train):

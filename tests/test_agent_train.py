@@ -207,3 +207,29 @@ def test_train_step_compiles_once_across_chained_steps():
     for _ in range(3):
         state, _ = agent.train_step(state, batch)
     assert agent._train_step._cache_size() == 1
+
+
+def test_remat_score_network_gradients_match():
+    """TpuConfig.remat_score_network must not change values or gradients."""
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    params = agent.core.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    obs = jax.random.normal(jax.random.PRNGKey(2), (8, 5))
+    rewards = jax.random.normal(jax.random.PRNGKey(3), (8,))
+    latents = jax.random.normal(jax.random.PRNGKey(4), (8, 8))
+    ti = jnp.ones((100,)) / 100.0
+
+    def loss(p, remat):
+        agent.core.config.tpu.remat_score_network = remat
+        try:
+            terms = agent.core.elbo_terms(p, key, obs, rewards, latents, ti, train=False)
+        finally:
+            agent.core.config.tpu.remat_score_network = False
+        return agent.core.assemble_score_loss(terms)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

@@ -106,6 +106,24 @@ def test_fused_kernel_partial_sweep():
     )
 
 
+def test_fused_kernel_bfloat16_close_to_f32():
+    """bf16 matmul kernels (TpuConfig.compute_dtype) track the f32 sweep."""
+    core, params = make_core()
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    obs = jax.random.normal(jax.random.PRNGKey(2), (B, 5))
+    expected, obs_emb, t_embs = xla_reference_sweep(core, params, z0, obs, K)
+    actual = fused_denoise_sweep(
+        core.schedule, params["score"], z0, obs_emb, t_embs,
+        seed=jnp.asarray(0), num_steps=K, num_layers=L,
+        deterministic=True, interpret=True, compute_dtype=jnp.bfloat16,
+    )
+    assert actual.dtype == expected.dtype  # state update stays f32
+    # bf16 has ~3 decimal digits; the K-step recursion compounds the error
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=0.1, atol=0.05
+    )
+
+
 def test_fused_kernel_batch_tiling():
     core, params = make_core()
     z0 = jax.random.normal(jax.random.PRNGKey(1), (B, D))
@@ -119,3 +137,23 @@ def test_fused_kernel_batch_tiling():
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected), rtol=2e-4, atol=2e-5
     )
+
+
+def test_bits_to_normal_signed_bits_finite_and_standard():
+    """Regression: TPU prng_random_bits is signed int32; the Box-Muller
+    conversion must stay finite for negative bit patterns (a sign-preserving
+    shift once produced log(negative) = NaN on every stochastic sweep step)."""
+    from active_inference_diffusion_tpu.ops.denoise import bits_to_normal
+
+    rng = np.random.default_rng(0)
+    # full signed int32 range, including guaranteed negatives
+    bits1 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(4096,), dtype=np.int64).astype(np.int32)
+    )
+    bits2 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(4096,), dtype=np.int64).astype(np.int32)
+    )
+    z = np.asarray(bits_to_normal(bits1, bits2))
+    assert np.isfinite(z).all()
+    assert abs(z.mean()) < 0.1
+    assert abs(z.std() - 1.0) < 0.1

@@ -52,7 +52,7 @@ def build_configs(args):
             ),
         )
         training_config = TrainingConfig(
-            total_timesteps=args.total_timesteps,
+            total_timesteps=args.total_timesteps or 1_000_000,
             eval_frequency=10_000,
             save_frequency=50_000,
             log_frequency=1_000,
@@ -89,7 +89,11 @@ def main():
         ],
     )
     parser.add_argument("--pixels", action="store_true", help="Use pixel observations")
-    parser.add_argument("--total-timesteps", type=int, default=1_000_000)
+    parser.add_argument(
+        "--total-timesteps", type=int, default=None,
+        help="Default 1,000,000; a YAML --config value is NOT overridden "
+        "unless this flag is passed explicitly",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num-parallel-envs", type=int, default=8)
     parser.add_argument(
