@@ -148,6 +148,38 @@ class BaseAgent:
         self.total_steps = 0
         self.episode_count = 0
 
+        # Fused sample+train epoch: ONE device dispatch for a whole block of
+        # updates (the reference's loop pays a host round trip per update;
+        # through a remote TPU that round trip dominates wall-clock).
+        self._train_epoch = jax.jit(
+            self._train_epoch_impl,
+            static_argnums=(3,),
+            donate_argnums=(0,) if config.tpu.donate_buffers else (),
+        )
+
+    def _train_epoch_impl(self, state, replay_state, key, num_updates: int):
+        from ..data.replay import replay_sample
+
+        batch_size = self.config.batch_size
+
+        def body(st, k):
+            sample_key = jax.random.fold_in(k, 0)
+            batch = replay_sample(replay_state, sample_key, batch_size)
+            st, metrics = self._train_step_impl(st, batch)
+            return st, metrics
+
+        keys = jax.random.split(key, num_updates)
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    def train_epoch(self, state, replay_state, key, num_updates: int):
+        """Run ``num_updates`` (sample -> train_step) updates as one jitted
+        ``lax.scan`` program over an HBM-resident replay state. Returns
+        (new_state, mean-metrics). Only valid for device replay buffers."""
+        state, metrics = self._train_epoch(state, replay_state, key, num_updates)
+        self.total_steps += num_updates
+        return state, metrics
+
     # -- state ----------------------------------------------------------
 
     def init_train_state(self, key: jax.Array) -> AgentTrainState:

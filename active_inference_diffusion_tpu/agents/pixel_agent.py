@@ -190,12 +190,14 @@ class DiffusionPixelAgent(DiffusionStateAgent):
             params, act_key, features, deterministic=deterministic, num_steps=num_steps
         )
         if not deterministic:
-            noise = (
+            action = action + (
                 jax.random.normal(noise_key, action.shape, dtype=action.dtype)
                 * exploration_noise
             )
-            action = jnp.clip(action + noise, -1.0, 1.0)
-        return action
+        # Always clip (see state_agent._act_impl: the reference only acts
+        # through its noisy clipping path; unclipped deterministic actions
+        # destabilize MuJoCo).
+        return jnp.clip(action, -1.0, 1.0)
 
     def act(
         self,

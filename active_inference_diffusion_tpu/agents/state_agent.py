@@ -81,12 +81,16 @@ class DiffusionStateAgent(BaseAgent):
             deterministic=deterministic, num_steps=num_steps,
         )
         if not deterministic:
-            noise = (
+            action = action + (
                 jax.random.normal(noise_key, action.shape, dtype=action.dtype)
                 * exploration_noise
             )
-            action = jnp.clip(action + noise, -1.0, 1.0)
-        return action
+        # Always clip to the action space: the policy head is unsquashed by
+        # default (matching the reference), and the reference only ever acts
+        # through its noisy path which clips (state_agent.py:104-107) — its
+        # evaluate_agent never passes deterministic=True (quirk #6,
+        # DEVIATIONS.md). Unclipped deterministic actions destabilize MuJoCo.
+        return jnp.clip(action, -1.0, 1.0)
 
     def act(
         self,

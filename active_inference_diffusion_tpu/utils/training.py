@@ -58,6 +58,57 @@ def evaluate_agent(
     }
 
 
+def evaluate_agent_batched(
+    agent,
+    state,
+    env_fn,
+    num_episodes: int = 10,
+    deterministic: Optional[bool] = None,
+    key: Optional[jax.Array] = None,
+    max_steps: int = 10_000,
+) -> Dict[str, float]:
+    """All evaluation episodes in lockstep: one env per episode, one batched
+    act per step. The serial ``evaluate_agent`` pays a device round trip per
+    (episode, step) — prohibitive through a remote accelerator; this pays one
+    per step total. ``env_fn(i) -> callable`` as used by the collectors.
+    """
+    from ..envs.vec_env import ThreadedVectorEnv
+
+    if deterministic is None:
+        deterministic = agent.config.semantics.deterministic_eval
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    vec = ThreadedVectorEnv([env_fn(100 + i) for i in range(num_episodes)])
+    try:
+        n = vec.num_envs
+        obs, _ = vec.reset(seed=10_000)
+        totals = np.zeros(n)
+        lengths = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        steps = 0
+        while alive.any() and steps < max_steps:
+            key, sub = jax.random.split(key)
+            actions = agent.act(
+                state, obs, sub, deterministic=deterministic, collect=False
+            )
+            obs, rewards, terminated, truncated, _ = vec.step(np.asarray(actions))
+            done = np.logical_or(terminated, truncated)
+            totals += np.asarray(rewards) * alive
+            lengths += alive
+            alive &= ~done  # autoreset: post-done rewards belong to new episodes
+            steps += 1
+    finally:
+        vec.close()
+
+    return {
+        "eval/episode_reward_mean": float(np.mean(totals)),
+        "eval/episode_reward_std": float(np.std(totals)),
+        "eval/episode_reward_min": float(np.min(totals)),
+        "eval/episode_reward_max": float(np.max(totals)),
+        "eval/episode_length_mean": float(np.mean(lengths)),
+    }
+
+
 def create_video(
     agent, state, env_name: str, video_dir: str = "videos",
     num_episodes: int = 1, key: Optional[jax.Array] = None,

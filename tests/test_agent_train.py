@@ -233,3 +233,45 @@ def test_remat_score_network_gradients_match():
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_train_epoch_fused_scan():
+    """train_epoch = (sample -> train_step) x N as one jitted scan over the
+    device replay state; must advance state.step by N with finite metrics."""
+    from active_inference_diffusion_tpu.data.replay import DeviceReplayBuffer
+
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+
+    replay = DeviceReplayBuffer(64, (5,), 2)
+    batch = make_batch(jax.random.PRNGKey(1), b=32)
+    replay.add_batch(
+        batch["observations"], batch["actions"], batch["rewards"],
+        batch["next_observations"], batch["dones"],
+    )
+
+    new_state, metrics = agent.train_epoch(
+        state, replay.state, jax.random.PRNGKey(2), 3
+    )
+    assert int(new_state.step) == 3
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"non-finite {k}"
+
+
+def test_deterministic_act_clipped():
+    """Regression: deterministic eval actions must be clipped to [-1, 1] —
+    the unsquashed policy head can emit large means early in training, and
+    out-of-range actions destabilize MuJoCo (observed: -4.8e7 eval returns)."""
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    # inflate the policy mean head so raw outputs exceed the action bounds
+    p = jax.tree_util.tree_map(lambda x: x * 50.0, state.params["policy"])
+    params = dict(state.params)
+    params["policy"] = p
+    state = state.replace(params=params)
+    obs = np.random.default_rng(0).normal(size=(4, 5)).astype(np.float32) * 3
+    for det in (True, False):
+        a = agent.act(state, obs, jax.random.PRNGKey(1), deterministic=det)
+        assert (np.abs(a) <= 1.0).all(), f"unclipped action (deterministic={det})"

@@ -185,3 +185,76 @@ def test_ema_loss_gradient():
     t_exp = float(jnp.mean(jnp.exp(x)))
     expected_grad = np.exp(np.asarray(x)) / ((t_exp + 1e-6) * 3)
     np.testing.assert_allclose(np.asarray(g), expected_grad, rtol=1e-4)
+
+
+def test_cli_total_timesteps_does_not_clobber_yaml(tmp_path):
+    """Regression: the --total-timesteps CLI default must not override a
+    YAML-provided training.total_timesteps (it once forced 1M onto every
+    --config run)."""
+    import argparse
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "aid_train_cli", Path(__file__).resolve().parents[1] / "train.py"
+    )
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        "active_inference:\n  env_name: Hopper-v4\n"
+        "training:\n  total_timesteps: 450\n"
+    )
+
+    def ns(**kw):
+        base = dict(
+            config=str(cfg_file), env=None, total_timesteps=None, pixels=False,
+            semantics=None, seed=0, resume=None, num_parallel_envs=8,
+            no_wandb=True,
+        )
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    _, tcfg, _ = train_mod.build_configs(ns())
+    assert tcfg.total_timesteps == 450
+
+    _, tcfg, _ = train_mod.build_configs(ns(total_timesteps=777))
+    assert tcfg.total_timesteps == 777
+
+    # no-config path falls back to the reference default
+    _, tcfg, _ = train_mod.build_configs(
+        ns(config=None, env="HalfCheetah-v4")
+    )
+    assert tcfg.total_timesteps == 1_000_000
+
+
+def test_evaluate_agent_batched_lockstep():
+    """Batched eval: one act per step for all episodes, episode accounting
+    must ignore post-done (autoreset) rewards."""
+    import gymnasium as gym
+
+    from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig, DiffusionConfig, TrainingConfig)
+    from active_inference_diffusion_tpu.utils.training import evaluate_agent_batched
+
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, latent_dim=4, hidden_dim=16,
+        score_num_layers=1, efe_horizon=2, num_efe_trajectories=2,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    agent = DiffusionStateAgent(3, 1, cfg, TrainingConfig(collect_diffusion_steps=2))
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+
+    def env_fn(i):
+        return lambda: gym.make("Pendulum-v1")
+
+    m = evaluate_agent_batched(
+        agent, state, env_fn, num_episodes=3, max_steps=20,
+        key=jax.random.PRNGKey(1),
+    )
+    assert m["eval/episode_length_mean"] == 20.0  # capped, none terminated
+    assert np.isfinite(m["eval/episode_reward_mean"])
+    assert m["eval/episode_reward_min"] <= m["eval/episode_reward_mean"] <= m["eval/episode_reward_max"]

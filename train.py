@@ -109,6 +109,7 @@ def main():
     args = parser.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from active_inference_diffusion_tpu.configs.config import config_to_dict
     from active_inference_diffusion_tpu.parallel.collect import create_collector
@@ -118,7 +119,7 @@ def main():
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
     from active_inference_diffusion_tpu.utils.training import (
-        evaluate_agent,
+        evaluate_agent_batched,
         plot_training_curves,
     )
 
@@ -257,15 +258,27 @@ def main():
             ):
                 t0 = time.time()
                 num_updates = int(training_config.gradient_steps * n_collected)
-                agg = {}
-                for _ in range(num_updates):
+                if isinstance(replay, DeviceReplayBuffer):
+                    # Whole update block as ONE jitted lax.scan dispatch
+                    # (per-update host round trips dominate on remote TPUs).
                     sample_key, sub = jax.random.split(sample_key)
-                    batch = replay.sample(sub, config.batch_size)
-                    state, metrics = agent.train_step(state, batch)
-                    for k, v in metrics.items():
-                        agg.setdefault(k, []).append(float(v))
+                    state, mean_metrics = agent.train_epoch(
+                        state, replay.state, sub, num_updates
+                    )
+                else:
+                    metrics_acc = []
+                    for _ in range(num_updates):
+                        sample_key, sub = jax.random.split(sample_key)
+                        batch = replay.sample(sub, config.batch_size)
+                        state, metrics = agent.train_step(state, batch)
+                        metrics_acc.append(metrics)
+                    mean_metrics = jax.tree_util.tree_map(
+                        lambda *xs: jnp.mean(jnp.stack(xs)), *metrics_acc
+                    )
+                # ONE device->host transfer for the whole iteration: per-update
+                # float() conversions would block on the device each time.
+                avg = {k: float(v) for k, v in jax.device_get(mean_metrics).items()}
                 train_time = time.time() - t0
-                avg = {k: float(np.mean(v)) for k, v in agg.items()}
                 avg["training/time"] = train_time
                 avg["training/updates_per_second"] = num_updates / max(train_time, 1e-9)
                 if steps_collected % training_config.log_frequency < n_collected:
@@ -293,8 +306,8 @@ def main():
                 logger.log({"reconstruction_error": recon_error}, steps_collected)
 
             if steps_collected % training_config.eval_frequency < n_collected:
-                eval_metrics = evaluate_agent(
-                    agent, state, eval_env,
+                eval_metrics = evaluate_agent_batched(
+                    agent, state, env_fn,
                     num_episodes=training_config.num_eval_episodes,
                 )
                 logger.log(eval_metrics, steps_collected)
@@ -313,7 +326,7 @@ def main():
                 print(f"Saved checkpoint: {path}")
 
         # final evaluation while envs are still alive
-        final_eval = evaluate_agent(agent, state, eval_env, num_episodes=20)
+        final_eval = evaluate_agent_batched(agent, state, env_fn, num_episodes=20)
         logger.log(final_eval, steps_collected)
         print(f"Final eval reward: {final_eval['eval/episode_reward_mean']:.2f}")
     finally:
