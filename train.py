@@ -193,9 +193,20 @@ def main():
     )
 
     if args.pixels:
-        replay = HostReplayBuffer(
-            training_config.buffer_size, obs_shape, action_dim, obs_dtype=np.uint8
-        )
+        # uint8 pixel storage: keep it in HBM when it fits (enables the fused
+        # sample+train epoch; decode /255 happens on device in replay_sample),
+        # else fall back to the host buffer.
+        obs_bytes = 2 * training_config.buffer_size * int(np.prod(obs_shape))
+        if obs_bytes <= 4 * 2**30:
+            replay = DeviceReplayBuffer(
+                training_config.buffer_size, obs_shape, action_dim,
+                obs_dtype=jnp.uint8,
+            )
+        else:
+            replay = HostReplayBuffer(
+                training_config.buffer_size, obs_shape, action_dim,
+                obs_dtype=np.uint8,
+            )
     else:
         replay = DeviceReplayBuffer(
             training_config.buffer_size, obs_shape, action_dim
