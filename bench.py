@@ -196,6 +196,64 @@ def main():
         f"{n_train / train_elapsed:.2f} updates/s (batch {BATCH})"
     )
 
+    # --- fused on-device collection (secondary metric) -----------------
+    # env steps/sec/chip with diffusion-belief action selection fused into
+    # the rollout (the reference's process collectors top out at O(10^2)
+    # steps/s; see SURVEY.md section 2.6).
+    try:
+        from active_inference_diffusion_tpu.envs.jax_envs import (
+            flatten_transitions,
+            fused_collect,
+            make_jax_env,
+        )
+
+        env = make_jax_env("Pendulum-v1")
+        fconfig = ActiveInferenceConfig(
+            observation_dim=env.observation_dim,
+            action_dim=env.action_dim,
+            latent_dim=16, hidden_dim=64, score_num_layers=2,
+            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+        )
+        fconfig.tpu.donate_buffers = False
+        fagent = DiffusionStateAgent(
+            env.observation_dim, env.action_dim, fconfig, TrainingConfig()
+        )
+        fparams = fagent.core.init_params(jax.random.PRNGKey(7))
+        n_envs, n_steps = 1024, 64
+
+        def policy_fn(obs_b, k):
+            belief_key, act_key = jax.random.split(k)
+            belief = fagent.core.generate_beliefs(
+                fparams, belief_key, obs_b, compute_reconstruction=False
+            )
+            dist = fagent.core.apply_policy(fparams["policy"], belief.latent)
+            return jnp.clip(dist.sample(act_key), -1.0, 1.0) * env.action_high
+
+        @jax.jit
+        def collect(key, env_states):
+            t, s = fused_collect(
+                env, policy_fn, key, n_envs, n_steps, env_states=env_states
+            )
+            return flatten_transitions(t).rewards, s
+
+        fkey = jax.random.PRNGKey(8)
+        rewards, states = collect(fkey, None)
+        rewards.block_until_ready()
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            fkey, sub = jax.random.split(fkey)
+            rewards, states = collect(sub, states)
+        rewards.block_until_ready()
+        f_elapsed = time.perf_counter() - t0
+        fused_sps = reps * n_envs * n_steps / f_elapsed
+        log(
+            f"fused on-device collect: {fused_sps:,.0f} env steps/s "
+            f"({n_envs} envs, K=10 belief sweep per step, 1 chip)"
+        )
+    except Exception as e:
+        log(f"fused collect bench skipped: {type(e).__name__}: {e}")
+
     # --- result --------------------------------------------------------
     baseline = get_baseline()
     vs = denoiser_steps_per_sec / baseline["denoiser_steps_per_sec"]
