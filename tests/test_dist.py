@@ -122,3 +122,17 @@ def test_sharded_act():
     # shards used distinct fold_in keys -> actions differ across shards
     a = np.asarray(actions)
     assert not np.allclose(a[:2], a[2:4])
+
+
+def test_multihost_mesh_single_process():
+    """Single-process degenerate case of the (host, dp, tp) multi-host mesh."""
+    from active_inference_diffusion_tpu.parallel.multihost import (
+        initialize,
+        make_multihost_mesh,
+    )
+
+    initialize()  # no-op single process
+    mesh = make_multihost_mesh(tp=2)
+    assert dict(mesh.shape) == {"host": 1, "dp": 4, "tp": 2}
+    mesh2 = make_multihost_mesh()
+    assert dict(mesh2.shape) == {"host": 1, "dp": 8, "tp": 1}
