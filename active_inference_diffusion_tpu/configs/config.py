@@ -147,6 +147,14 @@ class ActiveInferenceConfig:
     score_num_layers: int = 6
     pixel_observation: bool = False
 
+    # Tanh-squash the policy (None -> resolved from semantics mode:
+    # corrected=True, faithful=False). The reference's unsquashed head
+    # (policy_networks.py:30 squash_output=False) is only survivable because
+    # its sign bug MINIMIZES reward — actually maximizing a learned reward
+    # predictor with an unbounded Gaussian mean collapses to constant
+    # saturated actions (observed: eval pinned at -600 +- 2 on HalfCheetah).
+    policy_squash: Optional[bool] = None
+
     # Training
     batch_size: int = 256
     learning_rate: float = 5e-5

@@ -84,11 +84,21 @@ class DiffusionActiveInference:
             num_layers=config.score_num_layers,
             use_attention=True,
         )
+        # Squash resolution: explicit flag wins; otherwise corrected mode
+        # squashes (bounded actions are required when reward is actually
+        # maximized) and faithful mode matches the reference's unsquashed
+        # default (policy_networks.py:30).
+        self.policy_squash = (
+            config.policy_squash
+            if config.policy_squash is not None
+            else config.semantics.mode == "corrected"
+        )
         self.policy_network = DiffusionConditionedPolicy(
             latent_dim=latent_dim,
             action_dim=action_dim,
             hidden_dim=config.hidden_dim,
             use_state_dependent_std=True,
+            squash_output=self.policy_squash,
         )
         self.value_network = ValueNetwork(
             state_dim=latent_dim,
@@ -444,7 +454,7 @@ class DiffusionActiveInference:
             pol_key, dyn_key, epi_key = jax.random.split(step_key, 3)
 
             dist = self.apply_policy(params["policy"], z)
-            action, log_prob = sample_action(dist, pol_key)
+            action, log_prob = sample_action(dist, pol_key, squash=self.policy_squash)
 
             next_mean, next_logvar = self.predict_next_latent(
                 params["dynamics"], z, action
@@ -706,7 +716,9 @@ class DiffusionActiveInference:
         latent = belief.latent
 
         dist = self.apply_policy(params["policy"], latent)
-        action, log_prob = sample_action(dist, act_key, deterministic=deterministic)
+        action, log_prob = sample_action(
+            dist, act_key, deterministic=deterministic, squash=self.policy_squash
+        )
 
         info: Dict[str, jnp.ndarray] = {
             "action_log_prob": jnp.mean(log_prob),

@@ -275,3 +275,35 @@ def test_deterministic_act_clipped():
     for det in (True, False):
         a = agent.act(state, obs, jax.random.PRNGKey(1), deterministic=det)
         assert (np.abs(a) <= 1.0).all(), f"unclipped action (deterministic={det})"
+
+
+def test_policy_squash_semantics_resolution():
+    """corrected mode -> tanh-squashed actions strictly inside (-1, 1) even
+    with an inflated mean head; faithful mode keeps the reference's
+    unsquashed head; explicit flag wins."""
+    for mode, flag, expect_squash in (
+        ("corrected", None, True),
+        ("faithful", None, False),
+        ("faithful", True, True),
+        ("corrected", False, False),
+    ):
+        cfg, tcfg = tiny_config(mode)
+        cfg.policy_squash = flag
+        agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+        assert agent.core.policy_squash is expect_squash
+
+    cfg, tcfg = tiny_config("corrected")
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    params = dict(state.params)
+    params["policy"] = jax.tree_util.tree_map(
+        lambda x: x * 50.0, state.params["policy"]
+    )
+    latent = jax.random.normal(jax.random.PRNGKey(1), (16, 8)) * 3
+    from active_inference_diffusion_tpu.models.policy import sample_action
+
+    dist = agent.core.apply_policy(params["policy"], latent)
+    a, _ = sample_action(dist, jax.random.PRNGKey(2), squash=agent.core.policy_squash)
+    a_raw, _ = sample_action(dist, jax.random.PRNGKey(2), squash=False)
+    assert (np.abs(np.asarray(a)) <= 1.0).all()  # tanh-bounded
+    assert np.abs(np.asarray(a_raw)).max() > 1.0  # the raw head is unbounded
