@@ -182,14 +182,24 @@ class DiffusionStateAgent(BaseAgent):
 
         # --- 1. Belief generation: ONE batched sweep for obs + next_obs
         # (the reference runs three separate sweeps per train step,
-        # state_agent.py:134-140 and :195-197).
-        both = jnp.concatenate(
-            [jax.lax.stop_gradient(enc_obs), jax.lax.stop_gradient(enc_next_obs)], axis=0
-        )
-        belief = core.generate_beliefs(
-            sg_params, belief_key, both, compute_reconstruction=False
-        )
-        latents, next_latents = jnp.split(jax.lax.stop_gradient(belief.latent), 2, axis=0)
+        # state_agent.py:134-140 and :195-197). With cfg.ground_beliefs the
+        # sweep instead runs INSIDE the fused loss so reconstruction/KL/reward
+        # gradients reach the score network through the (reparameterizable)
+        # denoising chain; same keys -> identical sample either way.
+        ground = cfg.ground_beliefs
+        if ground:
+            latents = next_latents = None  # produced inside the fused loss
+        else:
+            both = jnp.concatenate(
+                [jax.lax.stop_gradient(enc_obs), jax.lax.stop_gradient(enc_next_obs)],
+                axis=0,
+            )
+            belief = core.generate_beliefs(
+                sg_params, belief_key, both, compute_reconstruction=False
+            )
+            latents, next_latents = jnp.split(
+                jax.lax.stop_gradient(belief.latent), 2, axis=0
+            )
 
         actions = batch["actions"]
         dones = batch["dones"]
@@ -204,26 +214,40 @@ class DiffusionStateAgent(BaseAgent):
             # Re-encode inside the loss (same key -> same augmentation) so
             # encoder params in `sub` receive gradients; identity for states.
             enc_obs_l, enc_next_obs_l = self._encode_batch(p, batch, enc_key)
+            if ground:
+                both_l = jnp.concatenate([enc_obs_l, enc_next_obs_l], axis=0)
+                belief_l = core.generate_beliefs(
+                    p, belief_key, both_l, compute_reconstruction=False
+                )
+                lat_l, next_lat_l = jnp.split(belief_l.latent, 2, axis=0)
+            else:
+                lat_l, next_lat_l = latents, next_latents
             terms = core.elbo_terms(
-                p, elbo_key, enc_obs_l, norm_rewards, latents,
+                p, elbo_key, enc_obs_l, norm_rewards, lat_l,
                 state.time_importance, train=True,
             )
             score_loss = core.assemble_score_loss(terms)
 
             extra_loss, extra_info = self._extra_score_loss(
-                p, batch, enc_obs_l, enc_next_obs_l, latents, next_latents
+                p, batch, enc_obs_l, enc_next_obs_l, lat_l, next_lat_l
             )
 
-            pred_next, _ = core.predict_next_latent(p["dynamics"], latents, actions)
-            dynamics_loss = jnp.mean((pred_next - next_latents) ** 2)
+            # Dynamics regression is on fixed belief samples in both modes.
+            lat_sg = jax.lax.stop_gradient(lat_l)
+            next_lat_sg = jax.lax.stop_gradient(next_lat_l)
+            pred_next, _ = core.predict_next_latent(p["dynamics"], lat_sg, actions)
+            dynamics_loss = jnp.mean((pred_next - next_lat_sg) ** 2)
             model_loss = core.assemble_model_loss(terms, dynamics_loss)
 
             total = score_loss + extra_loss + model_loss
-            aux = (terms, dynamics_loss, extra_info)
+            aux = (terms, dynamics_loss, extra_info, lat_sg, next_lat_sg)
             return total, aux
 
-        (fused_loss, (terms, dynamics_loss, extra_info)), fused_grads = (
-            jax.value_and_grad(fused_loss_fn, has_aux=True)(subset(params, fused_groups))
+        (
+            (fused_loss, (terms, dynamics_loss, extra_info, latents, next_latents)),
+            fused_grads,
+        ) = jax.value_and_grad(fused_loss_fn, has_aux=True)(
+            subset(params, fused_groups)
         )
 
         new_params = dict(params)

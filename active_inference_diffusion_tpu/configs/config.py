@@ -128,6 +128,10 @@ class ActiveInferenceConfig:
     extrinsic_weight: float = 1.0
     pragmatic_weight: float = 1.0
     consistency_weight: float = 0.1
+    # Weight of the value-bootstrap term inside the EFE pragmatic component
+    # (1.0 = the reference's behavior, core/active_inference.py:355-357;
+    # 0.0 = pure predicted-reward pragmatics).
+    efe_value_weight: float = 1.0
     discount_factor: float = 0.99
     contrastive_weight: float = 0.5
     lambda_return: float = 0.95
@@ -154,6 +158,18 @@ class ActiveInferenceConfig:
     # predictor with an unbounded Gaussian mean collapses to constant
     # saturated actions (observed: eval pinned at -600 +- 2 on HalfCheetah).
     policy_squash: Optional[bool] = None
+
+    # Differentiable belief sweep ("grounded beliefs", experimental; no
+    # reference counterpart). The reference generates belief latents under
+    # no_grad (agents/state_agent.py:134-140), so reconstruction/reward
+    # gradients reach only the decoder — nothing ever forces the belief to
+    # encode the observation. With this flag the reverse-diffusion sweep is
+    # differentiated end-to-end (the noise is explicit, so the sweep is
+    # reparameterizable) and reconstruction + reward + KL gradients flow into
+    # the score network; the score-matching target still uses stop-gradient
+    # latents as z_0. Policy/value/dynamics consumers keep stop-gradient
+    # latents either way.
+    ground_beliefs: bool = False
 
     # Training
     batch_size: int = 256

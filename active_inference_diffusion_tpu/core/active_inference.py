@@ -466,7 +466,9 @@ class DiffusionActiveInference:
             pragmatic = prag_w * (reward_mean / preference_temperature)
             t_batch = jnp.full((n,), t_idx, dtype=z.dtype)
             value = self.apply_value(params["value"], next_z, t_batch)
-            pragmatic = pragmatic + value
+            # efe_value_weight scales the bootstrap term (1.0 = reference
+            # behavior, :355-357); 0 gives pure predicted-reward pragmatics.
+            pragmatic = pragmatic + cfg.efe_value_weight * value
 
             consistency = -dist.entropy()
 
@@ -558,9 +560,14 @@ class DiffusionActiveInference:
         # Importance-sampled continuous time (reference :571-577)
         t = importance_sample_time(time_importance, t_key, batch_size)
 
+        # The score-matching sample treats the latents as a fixed z_0 draw
+        # even when the caller passes differentiable latents (ground_beliefs):
+        # grounding gradients flow through reconstruction/KL/reward below,
+        # never through the score-matching target.
+        z0 = jax.lax.stop_gradient(latents)
         noise = jax.random.normal(noise_key, latents.shape, dtype=latents.dtype)
         noisy_latents, qinfo = dproc.continuous_q_sample(
-            params["diffusion"], latents, t, noise
+            params["diffusion"], z0, t, noise
         )
 
         def score_at(z):

@@ -30,6 +30,13 @@ def main():
     parser.add_argument("--updates-per-iter", type=int, default=8)
     parser.add_argument("--iterations", type=int, default=50)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ground-beliefs", action="store_true",
+                        help="differentiable belief sweep (see DEVIATIONS.md)")
+    parser.add_argument("--lambda-n-steps", type=int, default=5,
+                        help="1 = pure TD(0), statistically sound for i.i.d. replay")
+    parser.add_argument("--learning-rate", type=float, default=3e-4)
+    parser.add_argument("--efe-value-weight", type=float, default=1.0)
+    parser.add_argument("--pragmatic-weight", type=float, default=1.0)
     args = parser.parse_args()
 
     import jax
@@ -63,7 +70,11 @@ def main():
         batch_size=128,
         efe_horizon=3,
         num_efe_trajectories=4,
-        learning_rate=3e-4,
+        learning_rate=args.learning_rate,
+        lambda_n_steps=args.lambda_n_steps,
+        ground_beliefs=args.ground_beliefs,
+        efe_value_weight=args.efe_value_weight,
+        pragmatic_weight=args.pragmatic_weight,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
     training_config = TrainingConfig(buffer_size=50_000)
