@@ -112,31 +112,47 @@ def evaluate_agent_batched(
 def create_video(
     agent, state, env_name: str, video_dir: str = "videos",
     num_episodes: int = 1, key: Optional[jax.Array] = None,
-    pixel: bool = False,
+    pixel: bool = False, max_steps: int = 1000, fps: int = 30,
 ):
-    """Record evaluation videos via gym.wrappers.RecordVideo
-    (reference: utils/training.py:178-245)."""
+    """Record evaluation videos (reference: utils/training.py:178-245).
+
+    Frames are rendered directly and written with imageio — mp4 when an
+    ffmpeg writer is available, GIF otherwise (gym.wrappers.RecordVideo
+    requires moviepy, which this container lacks)."""
+    import os
+
     import gymnasium as gym
+    import imageio
 
     key = key if key is not None else jax.random.PRNGKey(0)
+    os.makedirs(video_dir, exist_ok=True)
     env = gym.make(env_name, render_mode="rgb_array")
-    env = gym.wrappers.RecordVideo(
-        env, video_dir, episode_trigger=lambda e: True, disable_logger=True
-    )
+    paths = []
     try:
         for ep in range(num_episodes):
             obs, _ = env.reset(seed=20_000 + ep)
-            done = False
-            while not done:
+            frames = [env.render()]
+            done, steps = False, 0
+            while not done and steps < max_steps:
                 key, sub = jax.random.split(key)
                 action = np.asarray(
                     agent.act(state, obs[None], sub, deterministic=True, collect=False)
                 )[0]
                 obs, _, terminated, truncated, _ = env.step(action)
+                frames.append(env.render())
                 done = terminated or truncated
+                steps += 1
+            base = os.path.join(video_dir, f"{env_name}-episode-{ep}")
+            try:
+                path = base + ".mp4"
+                imageio.mimsave(path, frames, fps=fps)
+            except Exception:
+                path = base + ".gif"
+                imageio.mimsave(path, frames, fps=min(fps, 25))
+            paths.append(path)
     finally:
         env.close()
-    return video_dir
+    return paths[0] if len(paths) == 1 else video_dir
 
 
 def plot_training_curves(
