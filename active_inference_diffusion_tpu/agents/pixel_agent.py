@@ -173,6 +173,10 @@ class DiffusionPixelAgent(DiffusionStateAgent):
 
     # -- action selection -------------------------------------------------
 
+    def _act_features(self, params, observation, key):
+        """Warm-start act hook: conv-encode pixels (no augmentation)."""
+        return self._apply_encoder(params, observation, key, augment=False, train=False)
+
     def _act_impl(
         self,
         params: Params,

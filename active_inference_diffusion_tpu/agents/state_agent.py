@@ -61,6 +61,9 @@ class DiffusionStateAgent(BaseAgent):
         self._act = jax.jit(
             self._act_impl, static_argnames=("deterministic", "num_steps")
         )
+        self._act_warm = jax.jit(
+            self._act_warm_impl, static_argnames=("deterministic", "num_steps")
+        )
 
     # ------------------------------------------------------------------
     # Action selection (reference state_agent.py:72-108)
@@ -91,6 +94,79 @@ class DiffusionStateAgent(BaseAgent):
         # evaluate_agent never passes deterministic=True (quirk #6,
         # DEVIATIONS.md). Unclipped deterministic actions destabilize MuJoCo.
         return jnp.clip(action, -1.0, 1.0)
+
+    def _act_features(
+        self, params: Params, observation: jnp.ndarray, key: jax.Array
+    ) -> jnp.ndarray:
+        """Observation featurization for acting; identity for state agents
+        (pixel agents apply the conv encoder)."""
+        del params, key
+        return observation
+
+    def _act_warm_impl(
+        self,
+        params: Params,
+        key: jax.Array,
+        observation: jnp.ndarray,
+        exploration_noise: jnp.ndarray,
+        prev_latent: jnp.ndarray,
+        reset_mask: jnp.ndarray,  # (N,) bool: True -> start from fresh noise
+        deterministic: bool = False,
+        num_steps: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Warm-start partial-denoising act: the sweep starts from the
+        previous control step's belief (forward-noised to the truncation
+        timestep) instead of pure noise — consecutive observations are
+        similar, so a short sweep suffices (cf. Falcon, arXiv:2503.00339).
+        Returns (action, belief_latent) so the caller can thread the belief."""
+        feat_key, belief_key, act_key, noise_key, reset_key = jax.random.split(key, 5)
+        features = self._act_features(params, observation, feat_key)
+        # Fresh standard-normal start for reset envs: q_sample maps a
+        # N(0, I) z_init to an exactly standard-normal sweep start.
+        fresh = jax.random.normal(reset_key, prev_latent.shape, prev_latent.dtype)
+        z_prev = jnp.where(reset_mask[:, None], fresh, prev_latent)
+        belief = self.core.generate_beliefs(
+            params, belief_key, features, num_steps=num_steps,
+            compute_reconstruction=False, z_init=z_prev,
+        )
+        dist = self.core.apply_policy(params["policy"], belief.latent)
+        from ..models.policy import sample_action as _sample
+
+        action, _ = _sample(
+            dist, act_key, deterministic=deterministic,
+            squash=self.core.policy_squash,
+        )
+        if not deterministic:
+            action = action + (
+                jax.random.normal(noise_key, action.shape, dtype=action.dtype)
+                * exploration_noise
+            )
+        return jnp.clip(action, -1.0, 1.0), belief.latent
+
+    def act_warm(
+        self,
+        state: AgentTrainState,
+        observation: np.ndarray,
+        key: jax.Array,
+        prev_latents: jnp.ndarray,
+        reset_mask: np.ndarray,
+        deterministic: bool = False,
+        num_steps: Optional[int] = None,
+    ) -> Tuple[np.ndarray, jnp.ndarray]:
+        """Host entry point for warm-start acting; returns (actions, latents)."""
+        obs = jnp.asarray(observation, jnp.float32 if not self.config.pixel_observation else None)
+        actions, latents = self._act_warm(
+            state.params, key, obs,
+            jnp.asarray(self.exploration_noise, jnp.float32),
+            prev_latents, jnp.asarray(reset_mask, bool),
+            deterministic=deterministic,
+            num_steps=(
+                num_steps
+                if num_steps is not None
+                else self.training_config.collect_diffusion_steps
+            ),
+        )
+        return np.asarray(actions), latents
 
     def act(
         self,

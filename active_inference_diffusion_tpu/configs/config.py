@@ -236,6 +236,12 @@ class TrainingConfig:
     # passes 20 on a 25-step schedule, examples/train_mujoco.py:221); None
     # runs the full schedule.
     collect_diffusion_steps: Optional[int] = None
+    # Warm-start partial denoising at collect time: each env's belief latent
+    # seeds the next control step's (truncated) sweep instead of pure noise
+    # (cf. Falcon, arXiv:2503.00339); episode ends reset to fresh noise.
+    # Default off = reference behavior (full re-noise every step,
+    # utils/async_collector.py:530-595).
+    collect_warm_start: bool = False
 
     use_wandb: bool = False
     project_name: str = "active-inference-diffusion-tpu"

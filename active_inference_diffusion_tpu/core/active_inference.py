@@ -282,6 +282,7 @@ class DiffusionActiveInference:
         deterministic: bool = False,
         return_trajectory: bool = False,
         compute_reconstruction: bool = True,
+        z_init: Optional[jnp.ndarray] = None,
     ) -> BeliefInfo:
         """Run the reverse-diffusion sweep conditioned on observations and
         return the final latent belief plus diagnostics.
@@ -290,7 +291,17 @@ class DiffusionActiveInference:
         all K time embeddings are computed in one batched shot; the scan body
         runs only the per-step trunk + p_sample (the reference — and a naive
         port — recomputes the full obs encoder inside every denoising step,
-        reference core/diffusion.py:196-205)."""
+        reference core/diffusion.py:196-205).
+
+        ``z_init``: warm-start partial denoising — instead of starting from
+        pure noise, forward-noise ``z_init`` (e.g. the previous control step's
+        belief) to the truncation timestep with ``q_sample`` and denoise from
+        there. With a truncated ``num_steps`` this is the partial-denoising
+        recipe of Falcon (arXiv:2503.00339) applied to belief propagation:
+        consecutive observations are similar, so few reverse steps suffice.
+        For ``z_init ~ N(0, I)`` the warm start is *exactly* a standard-normal
+        start (q_sample preserves it), so episode resets can simply pass
+        fresh Gaussian latents."""
         batch_size = observation.shape[0]
         dtype = observation.dtype
         k = self.schedule.num_steps if num_steps is None else num_steps
@@ -310,7 +321,15 @@ class DiffusionActiveInference:
         )  # (K, hidden)
 
         init_key, scan_key = jax.random.split(key)
-        z_init = jax.random.normal(init_key, (batch_size, self.latent_dim), dtype=dtype)
+        if z_init is None:
+            z_init = jax.random.normal(
+                init_key, (batch_size, self.latent_dim), dtype=dtype
+            )
+        else:
+            # Forward-noise the warm start to the truncation timestep.
+            t0 = jnp.full((batch_size,), k - 1, dtype=jnp.int32)
+            fwd_noise = jax.random.normal(init_key, z_init.shape, dtype=dtype)
+            z_init = dproc.q_sample(self.schedule, z_init, t0, fwd_noise)
 
         if self._use_fused_sweep() and not return_trajectory:
             from ..ops.denoise import fused_denoise_sweep

@@ -35,6 +35,7 @@ class BatchedCollector:
         seed: int = 0,
         log_every: int = 100,
         random_until: int = 0,
+        warm_start: bool = False,
     ):
         self.vec_env = vec_env
         self.agent = agent
@@ -42,6 +43,12 @@ class BatchedCollector:
         self.num_envs = vec_env.num_envs
         self.log_every = log_every
         self.random_until = random_until
+        # Warm-start partial denoising: thread each env's belief latent to the
+        # next control step (reset to fresh noise on episode end); see
+        # DiffusionStateAgent.act_warm.
+        self.warm_start = warm_start
+        self._belief_latents = None
+        self._reset_mask = np.ones(self.num_envs, dtype=bool)
 
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
@@ -74,6 +81,24 @@ class BatchedCollector:
                 actions = self._rng.uniform(
                     -1.0, 1.0, size=(self.num_envs,) + self.vec_env.action_space.shape
                 ).astype(np.float32)
+            elif self.warm_start:
+                import jax.numpy as jnp
+
+                if self._belief_latents is None:
+                    self._belief_latents = jnp.zeros(
+                        (self.num_envs, self.agent.config.latent_dim), jnp.float32
+                    )
+                    self._reset_mask[:] = True
+                actions, self._belief_latents = self.agent.act_warm(
+                    state, self._obs, self._next_key(),
+                    self._belief_latents, self._reset_mask,
+                    deterministic=deterministic,
+                )
+                self._reset_mask[:] = False
+                if not np.isfinite(actions).all():
+                    actions = self._rng.uniform(
+                        -1.0, 1.0, size=actions.shape
+                    ).astype(np.float32)
             else:
                 actions = self.agent.act(
                     state, self._obs, self._next_key(),
@@ -88,6 +113,9 @@ class BatchedCollector:
 
             next_obs, rewards, terminated, truncated, infos = self.vec_env.step(actions)
             dones = np.logical_or(terminated, truncated)
+            if self.warm_start:
+                # finished envs restart their belief from fresh noise
+                self._reset_mask |= dones
 
             # The stored next_obs for finished episodes is the terminal
             # observation, not the auto-reset one.
@@ -154,6 +182,7 @@ def create_collector(
     backend: str = "thread",
     seed: int = 0,
     random_until: int = 0,
+    warm_start: bool = False,
 ) -> BatchedCollector:
     """Factory mirroring the reference's ``create_gpu_collector`` /
     ``create_parallel_collector``
@@ -162,5 +191,6 @@ def create_collector(
 
     vec_env = make_vec_env(env_fn, num_envs, backend=backend)
     return BatchedCollector(
-        vec_env, agent, replay_buffer, seed=seed, random_until=random_until
+        vec_env, agent, replay_buffer, seed=seed, random_until=random_until,
+        warm_start=warm_start,
     )

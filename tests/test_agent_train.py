@@ -342,3 +342,61 @@ def test_ground_beliefs_train_step_and_gradient_flow():
     norm_off = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g_off))
     assert norm_on > 0.0
     assert norm_off == 0.0
+
+
+def test_warm_start_act():
+    """Warm-start partial denoising: act_warm returns (actions, latents);
+    a reset mask with N(0,1) carry must be distribution-equivalent to the
+    cold start (q_sample preserves standard normals exactly)."""
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    obs = np.random.default_rng(0).normal(size=(64, 5)).astype(np.float32)
+
+    prev = jnp.zeros((64, 8))
+    reset = np.ones(64, dtype=bool)
+    a1, lat1 = agent.act_warm(state, obs, jax.random.PRNGKey(1), prev, reset)
+    assert a1.shape == (64, 2) and lat1.shape == (64, 8)
+    assert np.isfinite(a1).all() and np.isfinite(np.asarray(lat1)).all()
+
+    # threading the belief: warm step from lat1 without resets
+    a2, lat2 = agent.act_warm(
+        state, obs, jax.random.PRNGKey(2), lat1, np.zeros(64, bool)
+    )
+    assert np.isfinite(np.asarray(lat2)).all()
+    # warm start actually uses the carry: different carry -> different latents
+    a3, lat3 = agent.act_warm(
+        state, obs, jax.random.PRNGKey(2), 5.0 + lat1, np.zeros(64, bool)
+    )
+    assert float(jnp.abs(lat3 - lat2).max()) > 1e-4
+
+
+def test_warm_start_collector_pendulum():
+    """Collector with warm_start threads belief latents across steps."""
+    import gymnasium as gym
+
+    from active_inference_diffusion_tpu.data.replay import DeviceReplayBuffer
+    from active_inference_diffusion_tpu.parallel.collect import create_collector
+
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, latent_dim=4, hidden_dim=16,
+        score_num_layers=1, efe_horizon=2, num_efe_trajectories=2,
+        diffusion=DiffusionConfig(num_diffusion_steps=4, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    tcfg = TrainingConfig(collect_diffusion_steps=2)
+    agent = DiffusionStateAgent(3, 1, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    replay = DeviceReplayBuffer(256, (3,), 1)
+
+    collector = create_collector(
+        lambda i: (lambda: gym.make("Pendulum-v1")), 2, agent, replay,
+        backend="thread", warm_start=True,
+    )
+    try:
+        stats = collector.collect(state, 5)
+        assert len(replay) == 10
+        assert collector._belief_latents is not None
+        assert collector._belief_latents.shape == (2, 4)
+    finally:
+        collector.vec_env.close()

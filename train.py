@@ -220,6 +220,7 @@ def main():
         backend=args.env_backend,
         seed=args.seed,
         random_until=training_config.learning_starts,
+        warm_start=training_config.collect_warm_start,
     )
     collector.total_steps = steps_collected
 
