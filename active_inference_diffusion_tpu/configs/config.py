@@ -87,10 +87,13 @@ class SemanticsConfig:
 class TpuConfig:
     """TPU execution configuration (new; no reference equivalent)."""
 
-    # "float32" | "bfloat16": matmul-kernel dtype inside the fused Pallas
-    # denoiser (halves VMEM weight footprint, full-rate MXU). XLA-compiled
-    # f32 matmuls already run as bf16 MXU passes under JAX's default matmul
-    # precision, so this only affects the Pallas path.
+    # "float32" | "bfloat16": storage dtype of the matmul kernels inside the
+    # fused Pallas denoiser. On real TPUs this changes NOTHING numerically —
+    # Mosaic already lowers f32 dots to single bf16 MXU passes at default
+    # precision (verified: f32-vs-bf16 kernel outputs are bit-identical on
+    # v5e) — its benefit is halving the VMEM weight footprint, which extends
+    # the fused kernel to larger hidden dims. Interpret mode (CPU tests)
+    # does show bf16 rounding.
     compute_dtype: str = "float32"
     # Fused Pallas K-step denoiser (ops/denoise.py). Safe to enable: the
     # runtime gate (DiffusionActiveInference._use_fused_sweep) only engages it

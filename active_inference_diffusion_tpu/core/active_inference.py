@@ -155,6 +155,9 @@ class DiffusionActiveInference:
                     self.config.hidden_dim,
                     self.latent_dim,
                     self.config.score_num_layers,
+                    bytes_per_param=(
+                        2 if self.config.tpu.compute_dtype == "bfloat16" else 4
+                    ),
                 )
             self._fused_sweep_checked = ok
         return self._fused_sweep_checked

@@ -114,17 +114,29 @@ def sweep_coefficients(
     return jnp.stack(cols, axis=1).astype(jnp.float32)
 
 
-def trunk_weight_bytes(hidden_dim: int, latent_dim: int, num_layers: int) -> int:
+def trunk_weight_bytes(
+    hidden_dim: int, latent_dim: int, num_layers: int, bytes_per_param: int = 4
+) -> int:
     h, d, l = hidden_dim, latent_dim, num_layers
     per_block = h * 2 * h + h * h + h * h + h * 2 * h + h * 4 * h + 4 * h * h
     total = l * per_block + d * h + h * 2 * h + h * (h // 2) + (h // 2) * d
-    return 4 * total
+    return bytes_per_param * total
 
 
 def fused_sweep_supported(
-    hidden_dim: int, latent_dim: int, num_layers: int, vmem_budget: int = 10 * 2**20
+    hidden_dim: int,
+    latent_dim: int,
+    num_layers: int,
+    vmem_budget: int = 10 * 2**20,
+    bytes_per_param: int = 4,
 ) -> bool:
-    return trunk_weight_bytes(hidden_dim, latent_dim, num_layers) <= vmem_budget
+    """VMEM-fit gate. ``bytes_per_param=2`` (compute_dtype=bfloat16) doubles
+    the supported hidden range; on real TPUs bf16 kernel storage is
+    numerically free (Mosaic lowers f32 dots to bf16 MXU passes anyway)."""
+    return (
+        trunk_weight_bytes(hidden_dim, latent_dim, num_layers, bytes_per_param)
+        <= vmem_budget
+    )
 
 
 # ---------------------------------------------------------------------------
