@@ -219,7 +219,7 @@ class DiffusionPixelAgent(DiffusionStateAgent):
         )
         return np.asarray(
             self._act(
-                state.params,
+                self._acting_params(state),
                 key,
                 obs,
                 jnp.asarray(self.exploration_noise, jnp.float32),

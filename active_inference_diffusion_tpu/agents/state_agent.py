@@ -95,6 +95,16 @@ class DiffusionStateAgent(BaseAgent):
         # DEVIATIONS.md). Unclipped deterministic actions destabilize MuJoCo.
         return jnp.clip(action, -1.0, 1.0)
 
+    def _acting_params(self, state: AgentTrainState) -> Params:
+        """Parameters used at act/eval time; substitutes the EMA shadow of the
+        score network when ``use_ema_for_act`` is set (the reference maintains
+        the EMA but never applies it, base_agent.py:73-77)."""
+        if self.config.use_ema_for_act:
+            p = dict(state.params)
+            p["score"] = state.ema_score
+            return p
+        return state.params
+
     def _act_features(
         self, params: Params, observation: jnp.ndarray, key: jax.Array
     ) -> jnp.ndarray:
@@ -156,7 +166,7 @@ class DiffusionStateAgent(BaseAgent):
         """Host entry point for warm-start acting; returns (actions, latents)."""
         obs = jnp.asarray(observation, jnp.float32 if not self.config.pixel_observation else None)
         actions, latents = self._act_warm(
-            state.params, key, obs,
+            self._acting_params(state), key, obs,
             jnp.asarray(self.exploration_noise, jnp.float32),
             prev_latents, jnp.asarray(reset_mask, bool),
             deterministic=deterministic,
@@ -185,7 +195,7 @@ class DiffusionStateAgent(BaseAgent):
         )
         return np.asarray(
             self._act(
-                state.params,
+                self._acting_params(state),
                 key,
                 obs,
                 jnp.asarray(self.exploration_noise, jnp.float32),

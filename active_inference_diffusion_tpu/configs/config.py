@@ -180,6 +180,10 @@ class ActiveInferenceConfig:
     gradient_clip: float = 0.5
     score_gradient_clip: float = 0.1
     ema_decay: float = 0.9999
+    # Act/eval with the EMA shadow of the score network (standard diffusion
+    # practice). The reference maintains the EMA but never applies it
+    # (agents/base_agent.py:73-77; shadow weights unused at act time).
+    use_ema_for_act: bool = False
     epistemic_update_every: int = 5
 
     # Reward-oriented active inference

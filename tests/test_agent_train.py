@@ -400,3 +400,27 @@ def test_warm_start_collector_pendulum():
         assert collector._belief_latents.shape == (2, 4)
     finally:
         collector.vec_env.close()
+
+
+def test_use_ema_for_act():
+    """use_ema_for_act substitutes the EMA shadow of the score network at
+    act time; with a diverged EMA the actions must differ."""
+    cfg, tcfg = tiny_config()
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    # diverge the EMA from the live params
+    state = state.replace(
+        ema_score=jax.tree_util.tree_map(lambda x: x + 0.5, state.ema_score)
+    )
+    obs = np.random.default_rng(0).normal(size=(4, 5)).astype(np.float32)
+
+    a_live = agent.act(state, obs, jax.random.PRNGKey(1), deterministic=True)
+    agent.config.use_ema_for_act = True
+    try:
+        a_ema = agent.act(state, obs, jax.random.PRNGKey(1), deterministic=True)
+    finally:
+        agent.config.use_ema_for_act = False
+    assert np.abs(a_ema - a_live).max() > 1e-6
+    # same pytree structure -> no retrace needed beyond the first call
+    a_ema2_params = agent._acting_params(state)
+    assert set(a_ema2_params) == set(state.params)
