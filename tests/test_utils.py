@@ -258,3 +258,17 @@ def test_evaluate_agent_batched_lockstep():
     assert m["eval/episode_length_mean"] == 20.0  # capped, none terminated
     assert np.isfinite(m["eval/episode_reward_mean"])
     assert m["eval/episode_reward_min"] <= m["eval/episode_reward_mean"] <= m["eval/episode_reward_max"]
+
+
+def test_all_shipped_yaml_configs_load():
+    """Every YAML under examples/configs must parse into valid configs."""
+    from pathlib import Path
+
+    cfg_dir = Path(__file__).resolve().parents[1] / "examples" / "configs"
+    files = sorted(cfg_dir.glob("*.yaml"))
+    assert files, "no shipped configs found"
+    for f in files:
+        cfg, tcfg, pcfg = load_yaml_config(str(f))
+        assert cfg.latent_dim > 0 and tcfg.total_timesteps > 0
+        if "pixel" in f.name:
+            assert pcfg is not None and cfg.pixel_observation
