@@ -30,16 +30,24 @@ def save_checkpoint(
     config=None,
     training_config=None,
     keep_latest_alias: bool = True,
+    replay_state=None,
 ) -> str:
     """Save the full train state plus host metadata. Writes
     ``checkpoint_<step>`` and refreshes a ``latest`` alias
-    (reference: utils/training.py:72-122)."""
+    (reference: utils/training.py:72-122).
+
+    ``replay_state``: optionally checkpoint the device replay buffer too —
+    the reference never does (utils/training.py:87-103), which makes resumed
+    runs regress while the empty buffer refills with off-distribution data
+    (observed: HalfCheetah eval -402 -> -600 right after resume)."""
     ckpt_dir = Path(checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"checkpoint_{step}"
 
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state, force=True)
+        if replay_state is not None:
+            ckptr.save(path / "replay", replay_state, force=True)
 
     meta = {
         "total_steps": step,
@@ -83,16 +91,28 @@ def resolve_checkpoint_path(path_or_dir: str) -> Path:
 
 
 def load_checkpoint(
-    path_or_dir: str, template_state: AgentTrainState
+    path_or_dir: str, template_state: AgentTrainState, replay_template=None
 ) -> Tuple[AgentTrainState, Dict[str, Any]]:
     """Restore a train state (using ``template_state`` for structure/shapes)
-    plus the host metadata dict (reference: utils/training.py:125-172)."""
+    plus the host metadata dict (reference: utils/training.py:125-172).
+
+    With ``replay_template`` (a ReplayState matching the saved shapes), a
+    checkpointed replay buffer is restored too and returned in the metadata
+    dict under ``"replay_state"`` (absent if the checkpoint has none)."""
     path = resolve_checkpoint_path(path_or_dir)
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
         state = ckptr.restore(path / "state", abstract)
+        replay_state = None
+        if replay_template is not None and (path / "replay").exists():
+            replay_abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, replay_template
+            )
+            replay_state = ckptr.restore(path / "replay", replay_abstract)
     meta: Dict[str, Any] = {}
     meta_file = path / "meta.json"
     if meta_file.exists():
         meta = json.loads(meta_file.read_text())
+    if replay_state is not None:
+        meta["replay_state"] = replay_state
     return state, meta

@@ -272,3 +272,42 @@ def test_all_shipped_yaml_configs_load():
         assert cfg.latent_dim > 0 and tcfg.total_timesteps > 0
         if "pixel" in f.name:
             assert pcfg is not None and cfg.pixel_observation
+
+
+def test_checkpoint_replay_roundtrip(tmp_path):
+    """Replay buffer checkpointing (the reference never saves its buffer,
+    so resumed runs regress while it refills; we observed -402 -> -600)."""
+    from active_inference_diffusion_tpu.data.replay import DeviceReplayBuffer
+    from active_inference_diffusion_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    replay = DeviceReplayBuffer(16, (5,), 2)
+    k = jax.random.split(jax.random.PRNGKey(1), 5)
+    replay.add_batch(
+        jax.random.normal(k[0], (10, 5)), jax.random.normal(k[1], (10, 2)),
+        jax.random.normal(k[2], (10,)), jax.random.normal(k[3], (10, 5)),
+        jax.random.bernoulli(k[4], 0.1, (10,)),
+    )
+
+    path = save_checkpoint(
+        str(tmp_path / "ck"), state, step=7, replay_state=replay.state
+    )
+    template = agent.init_train_state(jax.random.PRNGKey(2))
+    fresh_replay = DeviceReplayBuffer(16, (5,), 2)
+    restored, meta = load_checkpoint(path, template, replay_template=fresh_replay.state)
+    assert "replay_state" in meta
+    fresh_replay.state = meta["replay_state"]
+    assert len(fresh_replay) == 10
+    np.testing.assert_allclose(
+        np.asarray(fresh_replay.state.observations),
+        np.asarray(replay.state.observations),
+    )
+
+    # checkpoints without a replay restore cleanly too
+    path2 = save_checkpoint(str(tmp_path / "ck2"), state, step=8)
+    _, meta2 = load_checkpoint(path2, template, replay_template=fresh_replay.state)
+    assert "replay_state" not in meta2

@@ -178,13 +178,6 @@ def main():
 
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
     steps_collected = 0
-    if args.resume:
-        state, meta = load_checkpoint(args.resume, state)
-        steps_collected = int(meta.get("total_steps", 0))
-        agent.exploration_noise = float(
-            meta.get("exploration_noise", agent.exploration_noise)
-        )
-        print(f"Resumed from {args.resume} at step {steps_collected}")
 
     # --- replay + collector -------------------------------------------
     from active_inference_diffusion_tpu.data.replay import (
@@ -211,6 +204,18 @@ def main():
         replay = DeviceReplayBuffer(
             training_config.buffer_size, obs_shape, action_dim
         )
+
+    if args.resume:
+        replay_template = replay.state if isinstance(replay, DeviceReplayBuffer) else None
+        state, meta = load_checkpoint(args.resume, state, replay_template=replay_template)
+        steps_collected = int(meta.get("total_steps", 0))
+        agent.exploration_noise = float(
+            meta.get("exploration_noise", agent.exploration_noise)
+        )
+        if meta.get("replay_state") is not None:
+            replay.state = meta["replay_state"]
+            print(f"Restored replay buffer ({len(replay)} transitions)")
+        print(f"Resumed from {args.resume} at step {steps_collected}")
 
     collector = create_collector(
         env_fn,
@@ -334,6 +339,9 @@ def main():
                     training_config.checkpoint_dir, state, steps_collected,
                     exploration_noise=agent.exploration_noise,
                     config=config, training_config=training_config,
+                    replay_state=(
+                        replay.state if isinstance(replay, DeviceReplayBuffer) else None
+                    ),
                 )
                 print(f"Saved checkpoint: {path}")
 
@@ -349,6 +357,9 @@ def main():
         training_config.checkpoint_dir, state, steps_collected,
         exploration_noise=agent.exploration_noise,
         config=config, training_config=training_config,
+        replay_state=(
+            replay.state if isinstance(replay, DeviceReplayBuffer) else None
+        ),
     )
     plot_training_curves(
         str(logger.log_file), save_path=f"plots/{config.env_name}_training.png"
