@@ -311,3 +311,46 @@ def test_checkpoint_replay_roundtrip(tmp_path):
     path2 = save_checkpoint(str(tmp_path / "ck2"), state, step=8)
     _, meta2 = load_checkpoint(path2, template, replay_template=fresh_replay.state)
     assert "replay_state" not in meta2
+
+
+def test_epistemic_estimator_direct():
+    """estimate_epistemic_value: finite MINE bound, non-negative clipped
+    value, running-mean update, and jvp-vs-finite-difference probe agreement
+    (the FD mode replicates the reference; jvp is its eps->0 limit)."""
+    from active_inference_diffusion_tpu.core.epistemic import (
+        compute_jacobian_probes,
+        estimate_epistemic_value,
+    )
+
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    core = agent.core
+    params = state.params
+
+    def decoder_fn(z):
+        return core.decode_observation(params, z)
+
+    mean = jax.random.normal(jax.random.PRNGKey(1), (6, 8))
+    logvar = jnp.full((6, 8), -2.0)
+
+    result = estimate_epistemic_value(
+        core.epistemic_estimator, params["epistemic"], decoder_fn,
+        mean, logvar, jax.random.PRNGKey(2), jnp.zeros(()),
+        num_samples=3, train=False,
+    )
+    assert np.isfinite(float(result.mi_lower_bound))
+    assert result.value.shape == (6,)
+    assert (np.asarray(result.value) >= 0).all()
+    assert float(result.running_mean) != 0.0  # EMA state updated
+
+    # jvp probes ~= finite-difference probes for a smooth decoder
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 8))
+    jvp = compute_jacobian_probes(
+        decoder_fn, z, jax.random.PRNGKey(4), 2, jnp.asarray(0.01),
+        use_finite_differences=False,
+    )
+    fd = compute_jacobian_probes(
+        decoder_fn, z, jax.random.PRNGKey(4), 2, jnp.asarray(0.01),
+        use_finite_differences=True,
+    )
+    np.testing.assert_allclose(np.asarray(jvp), np.asarray(fd), rtol=0.2, atol=0.05)
