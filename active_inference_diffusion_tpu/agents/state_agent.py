@@ -368,18 +368,38 @@ class DiffusionStateAgent(BaseAgent):
             **extra_info,
         )
 
-        # --- 3. Policy update on mean EFE (reference state_agent.py:161-180)
-        def policy_loss_fn(sub: Params):
-            p = merged(new_params, sub)
-            efe, efe_info = core.compute_expected_free_energy(
-                p, latents, policy_key, state.preference_temperature,
-                state.epistemic_running_mean,
-            )
-            return jnp.mean(efe), efe_info
+        # --- 3. Policy update (reference state_agent.py:161-180). With
+        # cfg.imagined_value_targets the actor maximizes imagined
+        # lambda-returns (Dreamer-style) instead of the mean EFE.
+        if cfg.imagined_value_targets:
 
-        (policy_loss, efe_info), policy_grads = jax.value_and_grad(
-            policy_loss_fn, has_aux=True
-        )(subset(new_params, self.PARTITIONS["policy"]))
+            def policy_loss_fn(sub: Params):
+                p = merged(new_params, sub)
+                actor_loss, imag, info = core.imagined_lambda_objective(
+                    p, latents, policy_key, state.preference_temperature
+                )
+                return actor_loss, (imag, info)
+
+            (policy_loss, (imagination, efe_info)), policy_grads = (
+                jax.value_and_grad(policy_loss_fn, has_aux=True)(
+                    subset(new_params, self.PARTITIONS["policy"])
+                )
+            )
+        else:
+            imagination = None
+
+            def policy_loss_fn(sub: Params):
+                p = merged(new_params, sub)
+                efe, efe_info = core.compute_expected_free_energy(
+                    p, latents, policy_key, state.preference_temperature,
+                    state.epistemic_running_mean,
+                )
+                return jnp.mean(efe), efe_info
+
+            (policy_loss, efe_info), policy_grads = jax.value_and_grad(
+                policy_loss_fn, has_aux=True
+            )(subset(new_params, self.PARTITIONS["policy"]))
+
         updates, new_opt_states["policy"] = self.optimizers["policy"].update(
             policy_grads,
             state.opt_states["policy"],
@@ -391,25 +411,39 @@ class DiffusionStateAgent(BaseAgent):
         metrics["policy_loss"] = policy_loss
         metrics.update(efe_info)
 
-        # --- 4. Value update toward lambda-return targets
-        # (reference state_agent.py:183-215). next_latents are reused instead
-        # of re-running a third diffusion sweep (distribution-identical).
-        b = latents.shape[0]
-        t_now = jnp.zeros((b,), latents.dtype)
-        t_next = jnp.ones((b,), latents.dtype)
-        next_values = jax.lax.stop_gradient(
-            core.apply_value(new_params["value"], next_latents, t_next)
-        )
-        cur_values = jax.lax.stop_gradient(
-            core.apply_value(new_params["value"], latents, t_now)
-        )
-        targets = jax.lax.stop_gradient(
-            core.lambda_returns(norm_rewards, cur_values, next_values, dones)
-        )
+        # --- 4. Value update. Imagined-lambda mode: regress V on the
+        # imagined states toward the imagined lambda-returns (the critic and
+        # actor share one imagination batch, as in Dreamer). Default:
+        # replay lambda-return targets (reference state_agent.py:183-215;
+        # next_latents reused instead of a third diffusion sweep).
+        if cfg.imagined_value_targets:
+            zs_im, ts_im, tgt_im = imagination
+            h, n = tgt_im.shape
+            zs_flat = zs_im.reshape(h * n, -1)
+            ts_flat = ts_im.reshape(h * n)
+            tgt_flat = tgt_im.reshape(h * n)
 
-        def value_loss_fn(sub: Params):
-            v = core.apply_value(sub["value"], latents, t_now)
-            return jnp.mean(optax.huber_loss(v, targets))
+            def value_loss_fn(sub: Params):
+                v = core.apply_value(sub["value"], zs_flat, ts_flat)
+                return jnp.mean(optax.huber_loss(v, tgt_flat))
+
+        else:
+            b = latents.shape[0]
+            t_now = jnp.zeros((b,), latents.dtype)
+            t_next = jnp.ones((b,), latents.dtype)
+            next_values = jax.lax.stop_gradient(
+                core.apply_value(new_params["value"], next_latents, t_next)
+            )
+            cur_values = jax.lax.stop_gradient(
+                core.apply_value(new_params["value"], latents, t_now)
+            )
+            targets = jax.lax.stop_gradient(
+                core.lambda_returns(norm_rewards, cur_values, next_values, dones)
+            )
+
+            def value_loss_fn(sub: Params):
+                v = core.apply_value(sub["value"], latents, t_now)
+                return jnp.mean(optax.huber_loss(v, targets))
 
         value_loss, value_grads = jax.value_and_grad(value_loss_fn)(
             subset(new_params, self.PARTITIONS["value"])

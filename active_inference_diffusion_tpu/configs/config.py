@@ -174,6 +174,13 @@ class ActiveInferenceConfig:
     # latents either way.
     ground_beliefs: bool = False
 
+    # Dreamer-style actor-critic on the imagined rollout (experimental; no
+    # reference counterpart). Policy maximizes imagined lambda-returns and
+    # the value net regresses toward the same imagined returns, replacing
+    # the EFE one-step pragmatic term and the replay-chained lambda targets
+    # (see core.imagined_lambda_objective and DEVIATIONS.md).
+    imagined_value_targets: bool = False
+
     # Training
     batch_size: int = 256
     learning_rate: float = 5e-5

@@ -548,6 +548,99 @@ class DiffusionActiveInference:
         return efe, info
 
     # ------------------------------------------------------------------
+    # Dreamer-style imagined lambda objective (no reference counterpart;
+    # stabilizer for the EFE policy path — see DEVIATIONS.md)
+    # ------------------------------------------------------------------
+
+    def imagined_lambda_objective(
+        self,
+        params: Params,
+        latent: jnp.ndarray,
+        key: jax.Array,
+        preference_temperature: jnp.ndarray,
+        horizon: Optional[int] = None,
+        num_trajectories: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """Actor loss = -mean imagined lambda-return (+entropy bonus), plus
+        the (stop-gradient) imagined states/targets for the critic.
+
+        This is the DreamerV2 actor-critic recipe grafted onto the diffusion
+        world model: imagine H steps through the learned dynamics, score them
+        with the reward predictor, bootstrap with the value net, and compute
+        lambda-returns BACKWARD over the imagined sequence. Unlike the EFE
+        pragmatic term (one-step r+V, reference :353-375) this propagates
+        long-horizon credit and regresses the critic toward the same imagined
+        returns instead of replay-chained targets (reference :638-707 chains
+        i.i.d. replay samples as if consecutive).
+
+        Returns ``(actor_loss, (imagined_z, imagined_t, targets), info)``
+        where imagined_z: (H, N, D) states z_0..z_{H-1} (stop-gradient),
+        imagined_t: (H, N) time indices, targets: (H, N) lambda-returns
+        (stop-gradient).
+        """
+        cfg = self.config
+        horizon = cfg.efe_horizon if horizon is None else horizon
+        num_traj = (
+            cfg.num_efe_trajectories if num_trajectories is None else num_trajectories
+        )
+        batch_size = latent.shape[0]
+        n = num_traj * batch_size
+        z0 = jnp.tile(latent, (num_traj, 1))
+
+        def step(z, inputs):
+            t_idx, step_key = inputs
+            pol_key, dyn_key = jax.random.split(step_key)
+            dist = self.apply_policy(params["policy"], z)
+            action, _ = sample_action(dist, pol_key, squash=self.policy_squash)
+            next_mean, next_logvar = self.predict_next_latent(
+                params["dynamics"], z, action
+            )
+            eps = jax.random.normal(dyn_key, next_mean.shape, next_mean.dtype)
+            next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
+            reward_mean, _ = self.predict_reward(params["reward"], next_z)
+            return next_z, (z, reward_mean, dist.entropy())
+
+        t_indices = jnp.arange(horizon, dtype=latent.dtype)
+        step_keys = jax.random.split(key, horizon)
+        z_last, (zs, rewards, entropies) = jax.lax.scan(
+            step, z0, (t_indices, step_keys)
+        )
+        # values bootstrapping the imagined sequence: V(z_{t+1}, t+1)
+        zs_next = jnp.concatenate([zs[1:], z_last[None]], axis=0)  # (H, N, D)
+        t_next = jnp.broadcast_to((t_indices + 1.0)[:, None], (horizon, n))
+        values_next = self.apply_value(
+            params["value"], zs_next.reshape(horizon * n, -1),
+            t_next.reshape(horizon * n),
+        ).reshape(horizon, n)
+
+        rewards = rewards / preference_temperature
+        gamma, lam = cfg.discount_factor, cfg.lambda_return
+
+        def backward(carry, inputs):
+            r, v_next = inputs
+            ret = r + gamma * ((1.0 - lam) * v_next + lam * carry)
+            return ret, ret
+
+        last = values_next[-1]
+        _, returns_rev = jax.lax.scan(
+            backward, last, (rewards[::-1], values_next[::-1])
+        )
+        lambda_returns = returns_rev[::-1]  # (H, N)
+
+        actor_loss = (
+            -jnp.mean(lambda_returns)
+            - cfg.consistency_weight * jnp.mean(entropies)
+        )
+        imagined_t = jnp.broadcast_to(t_indices[:, None], (horizon, n))
+        info = {
+            "imagined/lambda_return_mean": jnp.mean(lambda_returns),
+            "imagined/reward_mean": jnp.mean(rewards),
+            "imagined/entropy_mean": jnp.mean(entropies),
+        }
+        sg = jax.lax.stop_gradient
+        return actor_loss, (sg(zs), sg(imagined_t), sg(lambda_returns)), info
+
+    # ------------------------------------------------------------------
     # Diffusion ELBO (reference :533-636)
     # ------------------------------------------------------------------
 

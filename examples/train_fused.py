@@ -36,6 +36,8 @@ def main():
                         help="1 = pure TD(0), statistically sound for i.i.d. replay")
     parser.add_argument("--learning-rate", type=float, default=3e-4)
     parser.add_argument("--efe-value-weight", type=float, default=1.0)
+    parser.add_argument("--imagined-value-targets", action="store_true",
+                        help="Dreamer-style imagined lambda actor-critic")
     parser.add_argument("--pragmatic-weight", type=float, default=1.0)
     args = parser.parse_args()
 
@@ -74,6 +76,7 @@ def main():
         lambda_n_steps=args.lambda_n_steps,
         ground_beliefs=args.ground_beliefs,
         efe_value_weight=args.efe_value_weight,
+        imagined_value_targets=args.imagined_value_targets,
         pragmatic_weight=args.pragmatic_weight,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
@@ -89,6 +92,8 @@ def main():
 
     act_scale = env.action_high
 
+    from active_inference_diffusion_tpu.models.policy import sample_action
+
     def policy_fn_builder(params, noise_scale):
         def policy_fn(obs, key):
             belief_key, act_key = jax.random.split(key)
@@ -96,7 +101,9 @@ def main():
                 params, belief_key, obs, compute_reconstruction=False
             )
             dist = agent.core.apply_policy(params["policy"], belief.latent)
-            action = dist.sample(act_key)
+            # Same squashing as training/imagination (collect-train action
+            # distribution mismatch otherwise).
+            action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)
             return jnp.clip(action, -1.0, 1.0) * act_scale
 
         return policy_fn
