@@ -138,6 +138,7 @@ class DiffusionStateAgent(BaseAgent):
         belief = self.core.generate_beliefs(
             params, belief_key, features, num_steps=num_steps,
             compute_reconstruction=False, z_init=z_prev,
+            deterministic=self.config.deterministic_beliefs,
         )
         dist = self.core.apply_policy(params["policy"], belief.latent)
         from ..models.policy import sample_action as _sample
@@ -281,7 +282,8 @@ class DiffusionStateAgent(BaseAgent):
                 axis=0,
             )
             belief = core.generate_beliefs(
-                sg_params, belief_key, both, compute_reconstruction=False
+                sg_params, belief_key, both, compute_reconstruction=False,
+                deterministic=cfg.deterministic_beliefs,
             )
             latents, next_latents = jnp.split(
                 jax.lax.stop_gradient(belief.latent), 2, axis=0
@@ -303,7 +305,8 @@ class DiffusionStateAgent(BaseAgent):
             if ground:
                 both_l = jnp.concatenate([enc_obs_l, enc_next_obs_l], axis=0)
                 belief_l = core.generate_beliefs(
-                    p, belief_key, both_l, compute_reconstruction=False
+                    p, belief_key, both_l, compute_reconstruction=False,
+                    deterministic=cfg.ground_beliefs and cfg.deterministic_beliefs,
                 )
                 lat_l, next_lat_l = jnp.split(belief_l.latent, 2, axis=0)
             else:

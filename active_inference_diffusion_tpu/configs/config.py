@@ -181,6 +181,15 @@ class ActiveInferenceConfig:
     # (see core.imagined_lambda_objective and DEVIATIONS.md).
     imagined_value_targets: bool = False
 
+    # Deterministic belief sweeps (experimental): run the reverse diffusion
+    # without injected noise so the belief is a deterministic function of the
+    # observation (the posterior-mean analogue). Addresses the architectural
+    # mismatch documented in DEVIATIONS.md: stochastic sampled beliefs feed a
+    # deterministic latent dynamics model, so every downstream consumer
+    # (dynamics, reward, value, policy) sees a different latent for the same
+    # observation. Applies to training sweeps and acting.
+    deterministic_beliefs: bool = False
+
     # Training
     batch_size: int = 256
     learning_rate: float = 5e-5

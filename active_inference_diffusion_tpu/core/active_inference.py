@@ -834,6 +834,7 @@ class DiffusionActiveInference:
         belief = self.generate_beliefs(
             params, belief_key, observation, num_steps=num_steps,
             compute_reconstruction=compute_efe_info,
+            deterministic=self.config.deterministic_beliefs,
         )
         latent = belief.latent
 

@@ -38,6 +38,8 @@ def main():
     parser.add_argument("--efe-value-weight", type=float, default=1.0)
     parser.add_argument("--imagined-value-targets", action="store_true",
                         help="Dreamer-style imagined lambda actor-critic")
+    parser.add_argument("--deterministic-beliefs", action="store_true",
+                        help="noise-free belief sweeps (posterior-mean analogue)")
     parser.add_argument("--pragmatic-weight", type=float, default=1.0)
     args = parser.parse_args()
 
@@ -77,6 +79,7 @@ def main():
         ground_beliefs=args.ground_beliefs,
         efe_value_weight=args.efe_value_weight,
         imagined_value_targets=args.imagined_value_targets,
+        deterministic_beliefs=args.deterministic_beliefs,
         pragmatic_weight=args.pragmatic_weight,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
@@ -98,7 +101,8 @@ def main():
         def policy_fn(obs, key):
             belief_key, act_key = jax.random.split(key)
             belief = agent.core.generate_beliefs(
-                params, belief_key, obs, compute_reconstruction=False
+                params, belief_key, obs, compute_reconstruction=False,
+                deterministic=config.deterministic_beliefs,
             )
             dist = agent.core.apply_policy(params["policy"], belief.latent)
             # Same squashing as training/imagination (collect-train action
