@@ -169,3 +169,39 @@ def test_pixel_agent_act(pixel_agent_and_state):
     )
     actions = agent.act(state, batch_obs, jax.random.PRNGKey(3))
     assert actions.shape == (3, 2)
+
+
+def test_pixel_warm_start_act():
+    """Pixel agents route warm-start acting through the conv encoder hook."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from active_inference_diffusion_tpu.agents.pixel_agent import DiffusionPixelAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        PixelObservationConfig,
+        TrainingConfig,
+    )
+
+    cfg = ActiveInferenceConfig(
+        action_dim=2, latent_dim=8, hidden_dim=32, score_num_layers=1,
+        efe_horizon=2, num_efe_trajectories=2,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    pcfg = PixelObservationConfig(image_shape=(3, 32, 32), frame_stack=2)
+    agent = DiffusionPixelAgent(
+        obs_shape=(2, 3, 32, 32), action_dim=2, config=cfg,
+        training_config=TrainingConfig(collect_diffusion_steps=2),
+        pixel_config=pcfg,
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    obs = np.random.default_rng(0).integers(0, 255, (3, 2, 3, 32, 32), dtype=np.uint8)
+    prev = jnp.zeros((3, 8))
+    actions, latents = agent.act_warm(
+        state, obs, jax.random.PRNGKey(1), prev, np.ones(3, bool)
+    )
+    assert actions.shape == (3, 2) and latents.shape == (3, 8)
+    assert np.isfinite(actions).all() and (np.abs(actions) <= 1).all()
