@@ -14,8 +14,7 @@ update — is ONE jitted XLA program with a donated train state.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ Major structural differences (design, not translation):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ import numpy as np
 from ..configs.config import ActiveInferenceConfig
 from ..models.decoders import FeatureDecoder, RewardPredictor, StateDecoder, reward_log_prob
 from ..models.dynamics import LatentDynamicsModel
-from ..models.encoders import ConvDecoder, nchw_to_nhwc
+from ..models.encoders import ConvDecoder
 from ..models.policy import DiffusionConditionedPolicy, PolicyDist, sample_action
 from ..models.score_network import LatentScoreNetwork
 from ..models.value import ValueNetwork

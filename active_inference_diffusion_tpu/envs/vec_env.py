@@ -18,7 +18,7 @@ from __future__ import annotations
 import enum
 import multiprocessing as mp
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence
 
 import cloudpickle
 import numpy as np

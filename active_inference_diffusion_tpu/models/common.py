@@ -7,7 +7,7 @@ Counterparts of the reference's embedding/normalization helpers
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

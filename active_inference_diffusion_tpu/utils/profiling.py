@@ -12,7 +12,7 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 
