@@ -190,9 +190,19 @@ class DiffusionPixelAgent(DiffusionStateAgent):
         features = self._apply_encoder(
             params, observation, enc_key, augment=False, train=False
         )
-        action, _ = self.core.act(
-            params, act_key, features, deterministic=deterministic, num_steps=num_steps
-        )
+        if self.config.plan_candidates > 0:
+            action, _ = self.core.act_planned(
+                params, act_key, features,
+                plan_temperature=(
+                    0.0 if deterministic else self.config.plan_temperature
+                ),
+                num_steps=num_steps,
+            )
+        else:
+            action, _ = self.core.act(
+                params, act_key, features,
+                deterministic=deterministic, num_steps=num_steps,
+            )
         if not deterministic:
             action = action + (
                 jax.random.normal(noise_key, action.shape, dtype=action.dtype)

@@ -78,10 +78,22 @@ class DiffusionStateAgent(BaseAgent):
         num_steps: Optional[int] = None,
     ) -> jnp.ndarray:
         act_key, noise_key = jax.random.split(key)
-        action, _ = self.core.act(
-            params, act_key, observation,
-            deterministic=deterministic, num_steps=num_steps,
-        )
+        if self.config.plan_candidates > 0:
+            # EFE-based selection over candidate actions (active-inference
+            # decision rule; see core.act_planned). Deterministic eval uses
+            # argmin-EFE regardless of plan_temperature.
+            action, _ = self.core.act_planned(
+                params, act_key, observation,
+                plan_temperature=(
+                    0.0 if deterministic else self.config.plan_temperature
+                ),
+                num_steps=num_steps,
+            )
+        else:
+            action, _ = self.core.act(
+                params, act_key, observation,
+                deterministic=deterministic, num_steps=num_steps,
+            )
         if not deterministic:
             action = action + (
                 jax.random.normal(noise_key, action.shape, dtype=action.dtype)

@@ -136,6 +136,13 @@ class ActiveInferenceConfig:
     # 0.0 = pure predicted-reward pragmatics).
     efe_value_weight: float = 1.0
     discount_factor: float = 0.99
+    # EFE-based action selection (active-inference decision rule; the
+    # reference computes EFE in act() but never uses it — reference
+    # core/active_inference.py:501-510). 0 disables (policy sample, the
+    # reference path); C > 0 scores C candidate actions by G(a, pi) and picks
+    # argmin (plan_temperature == 0) or samples softmax(-G/T) over candidates.
+    plan_candidates: int = 0
+    plan_temperature: float = 0.0
     contrastive_weight: float = 0.5
     lambda_return: float = 0.95
     lambda_n_steps: int = 5

@@ -431,6 +431,7 @@ class DiffusionActiveInference:
         horizon: Optional[int] = None,
         num_trajectories: Optional[int] = None,
         include_epistemic: Optional[bool] = None,
+        first_action: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """G(pi) accumulated over imagined latent trajectories.
 
@@ -443,6 +444,11 @@ class DiffusionActiveInference:
 
         In corrected mode the pragmatic term enters with a negative sign so
         minimizing EFE seeks reward (see SemanticsConfig).
+
+        ``first_action`` (B, A), if given, replaces the policy sample at the
+        first imagination step — this scores G(a, pi) of committing to a
+        candidate action now and following the policy afterwards, the quantity
+        EFE-based action selection needs (see ``act_planned``).
         """
         cfg = self.config
         horizon = cfg.efe_horizon if horizon is None else horizon
@@ -455,6 +461,9 @@ class DiffusionActiveInference:
         batch_size = latent.shape[0]
         n = num_traj * batch_size
         z0 = jnp.tile(latent, (num_traj, 1))  # (T*B, D)
+        first_action_tiled = (
+            None if first_action is None else jnp.tile(first_action, (num_traj, 1))
+        )
 
         prag_sign = cfg.semantics.pragmatic_sign
         prag_w = cfg.pragmatic_weight
@@ -477,6 +486,8 @@ class DiffusionActiveInference:
 
             dist = self.apply_policy(params["policy"], z)
             action, log_prob = sample_action(dist, pol_key, squash=self.policy_squash)
+            if first_action_tiled is not None:
+                action = jnp.where(t_idx == 0, first_action_tiled, action)
 
             next_mean, next_logvar = self.predict_next_latent(
                 params["dynamics"], z, action
@@ -859,4 +870,87 @@ class DiffusionActiveInference:
             info["expected_free_energy"] = jnp.mean(efe)
             info["reconstruction_error"] = belief.reconstruction_error
             info.update(efe_info)
+        return action, info
+
+    def act_planned(
+        self,
+        params: Params,
+        key: jax.Array,
+        observation: jnp.ndarray,
+        num_candidates: Optional[int] = None,
+        plan_temperature: Optional[float] = None,
+        num_steps: Optional[int] = None,
+        preference_temperature: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """EFE-based action selection (active-inference decision rule).
+
+        The reference computes the EFE inside ``act`` but never uses it to
+        choose the action (reference core/active_inference.py:501-510 — the
+        policy sample is returned regardless). This method implements the
+        rule that computation implies: sample C candidate first actions from
+        the policy, score each by G(a, pi) = EFE of committing to it now and
+        following the policy over the imagination horizon, then pick
+        argmin-EFE (``plan_temperature == 0``) or sample from the Boltzmann
+        distribution softmax(-G/T) over candidates (``plan_temperature > 0``),
+        i.e. p(a) ∝ exp(-G(a)) — the canonical active-inference action prior.
+
+        All candidates are scored in one vmapped EFE rollout; the cost is
+        C x num_efe_trajectories x horizon dynamics steps per act. Gated by
+        ``ActiveInferenceConfig.plan_candidates`` at the agent level.
+        """
+        cfg = self.config
+        n_cand = cfg.plan_candidates if num_candidates is None else num_candidates
+        temp = cfg.plan_temperature if plan_temperature is None else plan_temperature
+        if observation.ndim == 1:
+            observation = observation[None]
+        belief_key, cand_key, efe_key, choose_key = jax.random.split(key, 4)
+
+        belief = self.generate_beliefs(
+            params, belief_key, observation, num_steps=num_steps,
+            compute_reconstruction=False,
+            deterministic=cfg.deterministic_beliefs,
+        )
+        latent = belief.latent  # (B, D)
+        batch = latent.shape[0]
+
+        dist = self.apply_policy(params["policy"], latent)
+
+        def sample_candidate(k):
+            action, _ = sample_action(dist, k, squash=self.policy_squash)
+            return action
+
+        cand_keys = jax.random.split(cand_key, n_cand)
+        candidates = jax.vmap(sample_candidate)(cand_keys)  # (C, B, A)
+
+        pref = (
+            preference_temperature
+            if preference_temperature is not None
+            else jnp.asarray(cfg.preference_temperature)
+        )
+
+        def score_candidate(action, k):
+            efe, _ = self.compute_expected_free_energy(
+                params, latent, k, pref, first_action=action,
+            )
+            return efe  # (B,)
+
+        efe_keys = jax.random.split(efe_key, n_cand)
+        efes = jax.vmap(score_candidate)(candidates, efe_keys)  # (C, B)
+
+        if temp and temp > 0.0:
+            # Boltzmann selection p(a_c) ∝ exp(-G_c / T) per batch element.
+            logits = -efes.T / temp  # (B, C)
+            idx = jax.random.categorical(choose_key, logits, axis=-1)  # (B,)
+        else:
+            idx = jnp.argmin(efes, axis=0)  # (B,)
+        action = jnp.take_along_axis(
+            candidates, idx[None, :, None], axis=0
+        )[0]  # (B, A)
+
+        chosen_efe = jnp.take_along_axis(efes, idx[None, :], axis=0)[0]
+        info = {
+            "plan/efe_chosen": jnp.mean(chosen_efe),
+            "plan/efe_spread": jnp.mean(jnp.max(efes, axis=0) - jnp.min(efes, axis=0)),
+            "plan/candidate_efe_mean": jnp.mean(efes),
+        }
         return action, info
