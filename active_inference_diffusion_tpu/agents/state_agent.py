@@ -39,7 +39,10 @@ class DiffusionStateAgent(BaseAgent):
         "score": ["score", "diffusion"],
         "policy": ["policy"],
         "value": ["value"],
-        "model": ["dynamics", "decoder", "reward"],
+        # "posterior" = amortized q(z|o) (extension; trains on the same
+        # reconstruction/reward/KL losses as this group, zero-grad unless
+        # cfg.posterior_beliefs routes latents through it)
+        "model": ["dynamics", "decoder", "reward", "posterior"],
         "epistemic": ["epistemic"],
     }
 
@@ -142,16 +145,25 @@ class DiffusionStateAgent(BaseAgent):
         Returns (action, belief_latent) so the caller can thread the belief."""
         feat_key, belief_key, act_key, noise_key, reset_key = jax.random.split(key, 5)
         features = self._act_features(params, observation, feat_key)
-        # Fresh standard-normal start for reset envs: q_sample maps a
-        # N(0, I) z_init to an exactly standard-normal sweep start.
-        fresh = jax.random.normal(reset_key, prev_latent.shape, prev_latent.dtype)
-        z_prev = jnp.where(reset_mask[:, None], fresh, prev_latent)
-        belief = self.core.generate_beliefs(
-            params, belief_key, features, num_steps=num_steps,
-            compute_reconstruction=False, z_init=z_prev,
-            deterministic=self.config.deterministic_beliefs,
-        )
-        dist = self.core.apply_policy(params["policy"], belief.latent)
+        if self.config.act_from_posterior:
+            # Posterior acting needs no warm start (one encoder forward);
+            # the previous latent is ignored, the interface is preserved.
+            latent = self.core.sample_posterior(
+                params["posterior"], belief_key, features,
+                deterministic=self.config.deterministic_beliefs,
+            )
+        else:
+            # Fresh standard-normal start for reset envs: q_sample maps a
+            # N(0, I) z_init to an exactly standard-normal sweep start.
+            fresh = jax.random.normal(reset_key, prev_latent.shape, prev_latent.dtype)
+            z_prev = jnp.where(reset_mask[:, None], fresh, prev_latent)
+            belief = self.core.generate_beliefs(
+                params, belief_key, features, num_steps=num_steps,
+                compute_reconstruction=False, z_init=z_prev,
+                deterministic=self.config.deterministic_beliefs,
+            )
+            latent = belief.latent
+        dist = self.core.apply_policy(params["policy"], latent)
         from ..models.policy import sample_action as _sample
 
         action, _ = _sample(
@@ -163,7 +175,7 @@ class DiffusionStateAgent(BaseAgent):
                 jax.random.normal(noise_key, action.shape, dtype=action.dtype)
                 * exploration_noise
             )
-        return jnp.clip(action, -1.0, 1.0), belief.latent
+        return jnp.clip(action, -1.0, 1.0), latent
 
     def act_warm(
         self,
@@ -283,9 +295,13 @@ class DiffusionStateAgent(BaseAgent):
         # state_agent.py:134-140 and :195-197). With cfg.ground_beliefs the
         # sweep instead runs INSIDE the fused loss so reconstruction/KL/reward
         # gradients reach the score network through the (reparameterizable)
-        # denoising chain; same keys -> identical sample either way.
+        # denoising chain; same keys -> identical sample either way. With
+        # cfg.posterior_beliefs the training latents come from the amortized
+        # posterior q(z|o) (also inside the fused loss, so the encoder trains
+        # on reconstruction/reward/KL) and the score net learns to sample it.
         ground = cfg.ground_beliefs
-        if ground:
+        posterior = cfg.posterior_beliefs
+        if ground or posterior:
             latents = next_latents = None  # produced inside the fused loss
         else:
             both = jnp.concatenate(
@@ -313,7 +329,14 @@ class DiffusionStateAgent(BaseAgent):
             # Re-encode inside the loss (same key -> same augmentation) so
             # encoder params in `sub` receive gradients; identity for states.
             enc_obs_l, enc_next_obs_l = self._encode_batch(p, batch, enc_key)
-            if ground:
+            if posterior:
+                both_l = jnp.concatenate([enc_obs_l, enc_next_obs_l], axis=0)
+                z_post = core.sample_posterior(
+                    p["posterior"], belief_key, both_l,
+                    deterministic=cfg.deterministic_beliefs,
+                )
+                lat_l, next_lat_l = jnp.split(z_post, 2, axis=0)
+            elif ground:
                 both_l = jnp.concatenate([enc_obs_l, enc_next_obs_l], axis=0)
                 belief_l = core.generate_beliefs(
                     p, belief_key, both_l, compute_reconstruction=False,

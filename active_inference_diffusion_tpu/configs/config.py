@@ -187,6 +187,27 @@ class ActiveInferenceConfig:
     # the EFE one-step pragmatic term and the replay-chained lambda targets
     # (see core.imagined_lambda_objective and DEVIATIONS.md).
     imagined_value_targets: bool = False
+    # Actor entropy-bonus scale for imagined_value_targets (DreamerV2 uses
+    # 1e-4..3e-4 for continuous control; reusing consistency_weight=0.1 lets
+    # the entropy term dominate and pins log-std at its clamp).
+    imagined_entropy_scale: float = 3e-4
+
+    # Posterior-grounded beliefs (experimental; no reference counterpart).
+    # The reference's score-matching target is the sweep's own (no_grad)
+    # output — self-referential: the sweep distribution is trained toward its
+    # own samples and nothing grounds belief latents to observations
+    # (reference agents/state_agent.py:134-140; see DEVIATIONS.md). With this
+    # flag an amortized Gaussian posterior q(z|o) (trained in the model group
+    # by reconstruction + reward NLL + KL) supplies the training latents, and
+    # the score network learns to SAMPLE q(z|o) — the reverse sweep becomes an
+    # iterative approximation of a grounded posterior. Dynamics/policy/value
+    # consume (stop-gradient) posterior samples.
+    posterior_beliefs: bool = False
+    # Act from the posterior head instead of running the reverse sweep at
+    # act time (requires posterior_beliefs; cheaper collection, no
+    # train/act distribution mismatch). The sweep remains available for
+    # beliefs-by-diffusion acting either way.
+    act_from_posterior: bool = False
 
     # Deterministic belief sweeps (experimental): run the reverse diffusion
     # without injected noise so the belief is a deterministic function of the

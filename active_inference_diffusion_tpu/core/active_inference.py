@@ -33,7 +33,7 @@ import numpy as np
 from ..configs.config import ActiveInferenceConfig
 from ..models.decoders import FeatureDecoder, RewardPredictor, StateDecoder, reward_log_prob
 from ..models.dynamics import LatentDynamicsModel
-from ..models.encoders import ConvDecoder
+from ..models.encoders import ConvDecoder, LatentPosteriorEncoder
 from ..models.policy import DiffusionConditionedPolicy, PolicyDist, sample_action
 from ..models.score_network import LatentScoreNetwork
 from ..models.value import ValueNetwork
@@ -131,6 +131,13 @@ class DiffusionActiveInference:
             )
             self.feature_decoder = None
         self.reward_predictor = RewardPredictor(hidden_dim=config.hidden_dim)
+        # Amortized posterior q(z|o) (extension, no reference counterpart):
+        # grounds the score-matching target when cfg.posterior_beliefs is set
+        # (see DEVIATIONS.md). Input is the same conditioning the score net
+        # sees (raw state / encoded pixel features).
+        self.posterior_encoder = LatentPosteriorEncoder(
+            latent_dim=latent_dim, hidden_dim=config.hidden_dim
+        )
         self._fused_sweep_checked: Optional[bool] = None
         self.epistemic_estimator = FunctionSpaceEpistemicEstimator(
             latent_dim=latent_dim,
@@ -169,7 +176,7 @@ class DiffusionActiveInference:
     def init_params(self, key: jax.Array) -> Params:
         """Initialize all parameter groups. Group boundaries mirror the
         reference's optimizer partitions (agents/state_agent.py:245-274)."""
-        keys = jax.random.split(key, 8)
+        keys = jax.random.split(key, 9)
         obs_dim = self.latent_dim if self.is_pixel else self.observation_dim
         dummy_obs = jnp.zeros((1, obs_dim))
         dummy_z = jnp.zeros((1, self.latent_dim))
@@ -197,6 +204,8 @@ class DiffusionActiveInference:
             keys[6], dummy_probes, jnp.zeros((2, self.latent_dim)), dummy_perm, train=False
         )
 
+        posterior = self.posterior_encoder.init(keys[8], dummy_obs)["params"]
+
         params: Params = {
             "score": score,
             "diffusion": diffusion,
@@ -205,6 +214,7 @@ class DiffusionActiveInference:
             "dynamics": dynamics,
             "decoder": decoder,
             "reward": reward,
+            "posterior": posterior,
             "epistemic": epistemic,  # full variables dict ({'params': ...})
         }
         if self.is_pixel:
@@ -249,6 +259,27 @@ class DiffusionActiveInference:
 
     def predict_reward(self, reward_params, latent: jnp.ndarray):
         return self.reward_predictor.apply({"params": reward_params}, latent)
+
+    def apply_posterior(
+        self, posterior_params, observation: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Amortized posterior q(z|o) -> (mu, logstd). `observation` is the
+        score-net conditioning (raw state / encoded pixel features)."""
+        return self.posterior_encoder.apply({"params": posterior_params}, observation)
+
+    def sample_posterior(
+        self,
+        posterior_params,
+        key: Optional[jax.Array],
+        observation: jnp.ndarray,
+        deterministic: bool = False,
+    ) -> jnp.ndarray:
+        """Reparameterized draw z = mu + sigma*eps (mu when deterministic)."""
+        mu, logstd = self.apply_posterior(posterior_params, observation)
+        if deterministic or key is None:
+            return mu
+        eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
+        return mu + eps * jnp.exp(logstd)
 
     def decode_observation(
         self,
@@ -638,9 +669,14 @@ class DiffusionActiveInference:
         )
         lambda_returns = returns_rev[::-1]  # (H, N)
 
+        # Entropy regularizer at Dreamer's continuous-control scale
+        # (imagined_entropy_scale, default 3e-4) — NOT consistency_weight
+        # (0.1): at 0.1 the entropy bonus dominates the imagined returns and
+        # pins the log-std head at its clamp max (observed: entropy frozen at
+        # dim*(1.419+2.0), eval collapsed to constant saturated actions).
         actor_loss = (
             -jnp.mean(lambda_returns)
-            - cfg.consistency_weight * jnp.mean(entropies)
+            - cfg.imagined_entropy_scale * jnp.mean(entropies)
         )
         imagined_t = jnp.broadcast_to(t_indices[:, None], (horizon, n))
         info = {
@@ -842,11 +878,31 @@ class DiffusionActiveInference:
             observation = observation[None]
         belief_key, efe_key, act_key = jax.random.split(key, 3)
 
-        belief = self.generate_beliefs(
-            params, belief_key, observation, num_steps=num_steps,
-            compute_reconstruction=compute_efe_info,
-            deterministic=self.config.deterministic_beliefs,
-        )
+        if self.config.act_from_posterior:
+            latent = self.sample_posterior(
+                params["posterior"], belief_key, observation,
+                deterministic=self.config.deterministic_beliefs,
+            )
+            recon_err = jnp.zeros((), dtype=latent.dtype)
+            if compute_efe_info:
+                decoded = self.decode_observation(
+                    params, latent,
+                    decode_to_pixels=False if self.is_pixel else True,
+                )
+                recon_err = jnp.mean((decoded - observation) ** 2)
+            belief = BeliefInfo(
+                latent=latent,
+                latent_mean=jnp.mean(latent, axis=0),
+                latent_std=jnp.std(latent, axis=0),
+                reconstruction_error=recon_err,
+                trajectory=None,
+            )
+        else:
+            belief = self.generate_beliefs(
+                params, belief_key, observation, num_steps=num_steps,
+                compute_reconstruction=compute_efe_info,
+                deterministic=self.config.deterministic_beliefs,
+            )
         latent = belief.latent
 
         dist = self.apply_policy(params["policy"], latent)
@@ -905,12 +961,18 @@ class DiffusionActiveInference:
             observation = observation[None]
         belief_key, cand_key, efe_key, choose_key = jax.random.split(key, 4)
 
-        belief = self.generate_beliefs(
-            params, belief_key, observation, num_steps=num_steps,
-            compute_reconstruction=False,
-            deterministic=cfg.deterministic_beliefs,
-        )
-        latent = belief.latent  # (B, D)
+        if cfg.act_from_posterior:
+            latent = self.sample_posterior(
+                params["posterior"], belief_key, observation,
+                deterministic=cfg.deterministic_beliefs,
+            )  # (B, D)
+        else:
+            belief = self.generate_beliefs(
+                params, belief_key, observation, num_steps=num_steps,
+                compute_reconstruction=False,
+                deterministic=cfg.deterministic_beliefs,
+            )
+            latent = belief.latent  # (B, D)
         batch = latent.shape[0]
 
         dist = self.apply_policy(params["policy"], latent)

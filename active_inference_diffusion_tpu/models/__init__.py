@@ -10,6 +10,7 @@ from .encoders import (
     DecoderBlock,
     SpatialAttentionAggregator,
     StateEncoder,
+    LatentPosteriorEncoder,
     MultiViewEncoder,
     EncoderFactory,
 )

@@ -272,6 +272,38 @@ class StateEncoder(nn.Module):
         return jnp.tanh(h)
 
 
+class LatentPosteriorEncoder(nn.Module):
+    """Amortized Gaussian posterior q(z|o) over the belief latent.
+
+    No reference counterpart (extension; see DEVIATIONS.md "posterior-grounded
+    beliefs"): the reference's score-matching target is the sweep's own output
+    (self-referential — nothing grounds belief latents to observations,
+    reference agents/state_agent.py:134-140 generates them under no_grad).
+    This head gives the diffusion model an independently grounded target:
+    z_post ~ N(mu(o), sigma(o)) is trained by reconstruction/reward/KL, and
+    the score network learns to *sample* it, so the reverse sweep becomes an
+    iterative approximation of a grounded posterior instead of of itself.
+    """
+
+    latent_dim: int
+    hidden_dim: int = 256
+    num_layers: int = 2
+    logstd_min: float = -6.0
+    logstd_max: float = 2.0
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = obs
+        for i in range(self.num_layers):
+            h = nn.Dense(self.hidden_dim, name=f"fc{i}")(h)
+            h = nn.LayerNorm(name=f"ln{i}")(h)
+            h = jax.nn.silu(h)
+        out = nn.Dense(2 * self.latent_dim, name="out")(h)
+        mu, logstd = jnp.split(out, 2, axis=-1)
+        logstd = jnp.clip(logstd, self.logstd_min, self.logstd_max)
+        return mu, logstd
+
+
 class MultiViewEncoder(nn.Module):
     """Per-camera DrQ-v2 encoders fused by concat/sum/attention
     (reference: encoder/state_encoders.py:68-153)."""

@@ -56,7 +56,7 @@ def test_init_param_groups(agent_and_state):
     agent, state = agent_and_state
     assert set(state.params.keys()) == {
         "score", "diffusion", "policy", "value", "dynamics",
-        "decoder", "reward", "epistemic",
+        "decoder", "reward", "posterior", "epistemic",
     }
     assert set(state.opt_states.keys()) == set(agent.PARTITIONS.keys())
 
