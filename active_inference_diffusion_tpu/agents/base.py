@@ -64,6 +64,11 @@ class AgentTrainState(struct.PyTreeNode):
     params: Params
     opt_states: Dict[str, Any]
     ema_score: Any  # EMA shadow of params['score'] (reference base_agent.py:73-77)
+    # EMA shadow of params['value'] ("slow critic", Dreamer-style): the
+    # imagined-lambda bootstrap reads this instead of the live critic so the
+    # actor cannot chase its own critic updates (extension; the reference
+    # bootstraps from the live value net, agents/state_agent.py:195-204).
+    target_value: Any
     time_importance: jnp.ndarray  # (100,) loss-aware time-sampling weights
     epistemic_running_mean: jnp.ndarray  # MINE EMA state
     reward_norm: RewardNormState
@@ -193,6 +198,7 @@ class BaseAgent:
             params=params,
             opt_states=opt_states,
             ema_score=init_ema(params["score"]),
+            target_value=init_ema(params["value"]),
             time_importance=init_time_importance(),
             epistemic_running_mean=jnp.zeros((), jnp.float32),
             reward_norm=RewardNormState.create(),

@@ -413,7 +413,8 @@ class DiffusionStateAgent(BaseAgent):
             def policy_loss_fn(sub: Params):
                 p = merged(new_params, sub)
                 actor_loss, imag, info = core.imagined_lambda_objective(
-                    p, latents, policy_key, state.preference_temperature
+                    p, latents, policy_key, state.preference_temperature,
+                    value_params=state.target_value,
                 )
                 return actor_loss, (imag, info)
 
@@ -543,11 +544,18 @@ class DiffusionStateAgent(BaseAgent):
         new_params.update(new_epi_params)
         metrics["epistemic_mi"] = epistemic_mi
 
+        # Slow critic tracks the live critic (bootstrap source for the
+        # imagined-lambda mode; carried but unused otherwise).
+        new_target_value = update_ema(
+            state.target_value, new_params["value"], cfg.target_value_decay
+        )
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_states=new_opt_states,
             ema_score=new_ema,
+            target_value=new_target_value,
             time_importance=new_time_importance,
             epistemic_running_mean=new_running_mean,
             reward_norm=new_reward_norm,

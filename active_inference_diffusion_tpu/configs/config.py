@@ -191,6 +191,9 @@ class ActiveInferenceConfig:
     # 1e-4..3e-4 for continuous control; reusing consistency_weight=0.1 lets
     # the entropy term dominate and pins log-std at its clamp).
     imagined_entropy_scale: float = 3e-4
+    # EMA decay of the slow critic bootstrapping imagined lambda-returns
+    # (Dreamer-style target network; only active with imagined_value_targets).
+    target_value_decay: float = 0.98
 
     # Posterior-grounded beliefs (experimental; no reference counterpart).
     # The reference's score-matching target is the sweep's own (no_grad)

@@ -602,9 +602,14 @@ class DiffusionActiveInference:
         preference_temperature: jnp.ndarray,
         horizon: Optional[int] = None,
         num_trajectories: Optional[int] = None,
+        value_params: Optional[Any] = None,
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Actor loss = -mean imagined lambda-return (+entropy bonus), plus
         the (stop-gradient) imagined states/targets for the critic.
+
+        ``value_params`` overrides the critic used for the bootstrap — pass
+        the EMA slow critic (AgentTrainState.target_value) so the actor and
+        the critic targets don't chase the live critic's updates.
 
         This is the DreamerV2 actor-critic recipe grafted onto the diffusion
         world model: imagine H steps through the learned dynamics, score them
@@ -650,8 +655,9 @@ class DiffusionActiveInference:
         # values bootstrapping the imagined sequence: V(z_{t+1}, t+1)
         zs_next = jnp.concatenate([zs[1:], z_last[None]], axis=0)  # (H, N, D)
         t_next = jnp.broadcast_to((t_indices + 1.0)[:, None], (horizon, n))
+        vp = params["value"] if value_params is None else value_params
         values_next = self.apply_value(
-            params["value"], zs_next.reshape(horizon * n, -1),
+            vp, zs_next.reshape(horizon * n, -1),
             t_next.reshape(horizon * n),
         ).reshape(horizon, n)
 

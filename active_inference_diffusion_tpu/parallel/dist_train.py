@@ -52,6 +52,7 @@ def make_dp_train_step(
             params=spec_like_params(state.params),
             opt_states=jax.tree_util.tree_map(lambda _: rep, state.opt_states),
             ema_score=spec_like_params(state.ema_score),
+            target_value=spec_like_params(state.target_value),
             time_importance=rep,
             epistemic_running_mean=rep,
             reward_norm=jax.tree_util.tree_map(lambda _: rep, state.reward_norm),

@@ -458,6 +458,36 @@ def test_imagined_value_targets_mode():
     assert np.isfinite(np.asarray(tgt)).all()
     assert np.isfinite(float(actor_loss))
 
+    # Slow critic: target_value tracks params['value'] by EMA (decay d), so
+    # after one step it moved but lags the live critic.
+    def tree_l1(a, b):
+        return sum(
+            float(jnp.sum(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert tree_l1(state.target_value, new_state.target_value) > 0
+    assert tree_l1(new_state.target_value, new_state.params["value"]) > 0
+    d = cfg.target_value_decay
+    expected = jax.tree_util.tree_map(
+        lambda tv, v: d * tv + (1.0 - d) * v,
+        state.target_value, new_state.params["value"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(new_state.target_value)[0]),
+        np.asarray(jax.tree_util.tree_leaves(expected)[0]),
+        rtol=1e-5,
+    )
+
+    # The bootstrap override is honored: a zeroed critic changes the targets.
+    zero_value = jax.tree_util.tree_map(jnp.zeros_like, state.params["value"])
+    _, (_, _, tgt_zero), _ = agent.core.imagined_lambda_objective(
+        state.params, jax.random.normal(jax.random.PRNGKey(2), (3, 8)),
+        jax.random.PRNGKey(3), jnp.asarray(1.0), horizon=3, num_trajectories=2,
+        value_params=zero_value,
+    )
+    assert not np.allclose(np.asarray(tgt_zero), np.asarray(tgt))
+
 
 def test_deterministic_beliefs_flag():
     """deterministic_beliefs: the belief becomes key-independent given the
