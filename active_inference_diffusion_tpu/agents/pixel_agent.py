@@ -174,44 +174,10 @@ class DiffusionPixelAgent(DiffusionStateAgent):
     # -- action selection -------------------------------------------------
 
     def _act_features(self, params, observation, key):
-        """Warm-start act hook: conv-encode pixels (no augmentation)."""
+        """Acting featurization hook (used by _act_impl and the warm-start
+        path): conv-encode pixels, no augmentation. The base
+        state_agent._act_impl handles planning/noise/clipping."""
         return self._apply_encoder(params, observation, key, augment=False, train=False)
-
-    def _act_impl(
-        self,
-        params: Params,
-        key: jax.Array,
-        observation: jnp.ndarray,
-        exploration_noise: jnp.ndarray,
-        deterministic: bool = False,
-        num_steps: Optional[int] = None,
-    ) -> jnp.ndarray:
-        enc_key, act_key, noise_key = jax.random.split(key, 3)
-        features = self._apply_encoder(
-            params, observation, enc_key, augment=False, train=False
-        )
-        if self.config.plan_candidates > 0:
-            action, _ = self.core.act_planned(
-                params, act_key, features,
-                plan_temperature=(
-                    0.0 if deterministic else self.config.plan_temperature
-                ),
-                num_steps=num_steps,
-            )
-        else:
-            action, _ = self.core.act(
-                params, act_key, features,
-                deterministic=deterministic, num_steps=num_steps,
-            )
-        if not deterministic:
-            action = action + (
-                jax.random.normal(noise_key, action.shape, dtype=action.dtype)
-                * exploration_noise
-            )
-        # Always clip (see state_agent._act_impl: the reference only acts
-        # through its noisy clipping path; unclipped deterministic actions
-        # destabilize MuJoCo).
-        return jnp.clip(action, -1.0, 1.0)
 
     def act(
         self,

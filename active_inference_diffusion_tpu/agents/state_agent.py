@@ -80,13 +80,16 @@ class DiffusionStateAgent(BaseAgent):
         deterministic: bool = False,
         num_steps: Optional[int] = None,
     ) -> jnp.ndarray:
-        act_key, noise_key = jax.random.split(key)
+        feat_key, act_key, noise_key = jax.random.split(key, 3)
+        # Featurization hook: identity for states, conv encoder for pixels
+        # (the pixel agent overrides _act_features only, not this method).
+        features = self._act_features(params, observation, feat_key)
         if self.config.plan_candidates > 0:
             # EFE-based selection over candidate actions (active-inference
             # decision rule; see core.act_planned). Deterministic eval uses
             # argmin-EFE regardless of plan_temperature.
             action, _ = self.core.act_planned(
-                params, act_key, observation,
+                params, act_key, features,
                 plan_temperature=(
                     0.0 if deterministic else self.config.plan_temperature
                 ),
@@ -94,7 +97,7 @@ class DiffusionStateAgent(BaseAgent):
             )
         else:
             action, _ = self.core.act(
-                params, act_key, observation,
+                params, act_key, features,
                 deterministic=deterministic, num_steps=num_steps,
             )
         if not deterministic:
@@ -545,10 +548,14 @@ class DiffusionStateAgent(BaseAgent):
         metrics["epistemic_mi"] = epistemic_mi
 
         # Slow critic tracks the live critic (bootstrap source for the
-        # imagined-lambda mode; carried but unused otherwise).
-        new_target_value = update_ema(
-            state.target_value, new_params["value"], cfg.target_value_decay
-        )
+        # imagined-lambda mode; carried untouched otherwise — the field must
+        # exist either way for pytree-structure stability).
+        if cfg.imagined_value_targets:
+            new_target_value = update_ema(
+                state.target_value, new_params["value"], cfg.target_value_decay
+            )
+        else:
+            new_target_value = state.target_value
 
         new_state = state.replace(
             step=state.step + 1,

@@ -194,6 +194,16 @@ class ActiveInferenceConfig:
     # EMA decay of the slow critic bootstrapping imagined lambda-returns
     # (Dreamer-style target network; only active with imagined_value_targets).
     target_value_decay: float = 0.98
+    # Fixed next-latent log-variance of the learned dynamics (the reference
+    # hardcodes log(0.1), core/active_inference.py:463 — an arbitrary,
+    # untrained constant). sigma~0.32/dim compounds over the imagination
+    # horizon and puts a variance floor under the critic's lambda-targets.
+    dynamics_logvar: float = -2.3025850929940455  # log(0.1), reference value
+    # Roll imagination (EFE and imagined-lambda) on the dynamics MEAN instead
+    # of sampling the fixed-variance noise — removes the arbitrary-noise
+    # variance floor from policy/value targets. Replay-side dynamics training
+    # and the epistemic estimator are unaffected.
+    imagine_deterministic: bool = False
 
     # Posterior-grounded beliefs (experimental; no reference counterpart).
     # The reference's score-matching target is the sweep's own (no_grad)

@@ -74,6 +74,19 @@ class DiffusionActiveInference:
         self.pixel_shape = pixel_shape  # (C, H, W) like the reference
         self.is_pixel = config.pixel_observation
 
+        if config.act_from_posterior and not config.posterior_beliefs:
+            raise ValueError(
+                "act_from_posterior requires posterior_beliefs: without it the "
+                "posterior encoder receives no gradients and acting would use "
+                "a frozen random-init head (silent train/act mismatch)."
+            )
+        if config.posterior_beliefs and config.ground_beliefs:
+            raise ValueError(
+                "posterior_beliefs and ground_beliefs are mutually exclusive "
+                "belief sources for the training latents (see DEVIATIONS.md); "
+                "set exactly one."
+            )
+
         self.schedule: DiffusionSchedule = schedule_from_config(config.diffusion)
 
         # --- module definitions (reference _build_models, :59-171) ---
@@ -252,9 +265,11 @@ class DiffusionActiveInference:
     def predict_next_latent(
         self, dynamics_params, latent: jnp.ndarray, action: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Residual dynamics with fixed logvar (reference :453-464)."""
+        """Residual dynamics with fixed logvar (reference :453-464; the
+        reference hardcodes log(0.1) — ``cfg.dynamics_logvar`` makes the
+        noise scale a knob, since it is an arbitrary constant, not learned)."""
         next_mean = self.latent_dynamics.apply({"params": dynamics_params}, latent, action)
-        next_logvar = jnp.full_like(next_mean, LOG_DYNAMICS_VAR)
+        next_logvar = jnp.full_like(next_mean, self.config.dynamics_logvar)
         return next_mean, next_logvar
 
     def predict_reward(self, reward_params, latent: jnp.ndarray):
@@ -523,8 +538,11 @@ class DiffusionActiveInference:
             next_mean, next_logvar = self.predict_next_latent(
                 params["dynamics"], z, action
             )
-            eps = jax.random.normal(dyn_key, next_mean.shape, dtype=next_mean.dtype)
-            next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
+            if cfg.imagine_deterministic:
+                next_z = next_mean
+            else:
+                eps = jax.random.normal(dyn_key, next_mean.shape, dtype=next_mean.dtype)
+                next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
 
             reward_mean, _ = self.predict_reward(params["reward"], next_z)
             pragmatic = prag_w * (reward_mean / preference_temperature)
@@ -642,8 +660,11 @@ class DiffusionActiveInference:
             next_mean, next_logvar = self.predict_next_latent(
                 params["dynamics"], z, action
             )
-            eps = jax.random.normal(dyn_key, next_mean.shape, next_mean.dtype)
-            next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
+            if cfg.imagine_deterministic:
+                next_z = next_mean
+            else:
+                eps = jax.random.normal(dyn_key, next_mean.shape, next_mean.dtype)
+                next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
             reward_mean, _ = self.predict_reward(params["reward"], next_z)
             return next_z, (z, reward_mean, dist.entropy())
 
@@ -943,22 +964,32 @@ class DiffusionActiveInference:
         plan_temperature: Optional[float] = None,
         num_steps: Optional[int] = None,
         preference_temperature: Optional[jnp.ndarray] = None,
+        epistemic_running_mean: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """EFE-based action selection (active-inference decision rule).
 
         The reference computes the EFE inside ``act`` but never uses it to
         choose the action (reference core/active_inference.py:501-510 — the
         policy sample is returned regardless). This method implements the
-        rule that computation implies: sample C candidate first actions from
-        the policy, score each by G(a, pi) = EFE of committing to it now and
-        following the policy over the imagination horizon, then pick
-        argmin-EFE (``plan_temperature == 0``) or sample from the Boltzmann
-        distribution softmax(-G/T) over candidates (``plan_temperature > 0``),
-        i.e. p(a) ∝ exp(-G(a)) — the canonical active-inference action prior.
+        rule that computation implies: score candidate first actions by
+        G(a, pi) = EFE of committing to each now and following the policy
+        over the imagination horizon, then pick argmin-EFE
+        (``plan_temperature == 0``) or sample from the Boltzmann distribution
+        softmax(-G/T) over candidates (``plan_temperature > 0``), i.e.
+        p(a) ∝ exp(-G(a)) — the canonical active-inference action prior.
 
-        All candidates are scored in one vmapped EFE rollout; the cost is
-        C x num_efe_trajectories x horizon dynamics steps per act. Gated by
-        ``ActiveInferenceConfig.plan_candidates`` at the agent level.
+        Candidate 0 is always the policy mode (so the plain deterministic
+        action is scored too); the rest are policy samples. All candidates
+        share ONE imagination key (common random numbers) so their EFEs are
+        paired comparisons — independent keys would make argmin pick the
+        noise-luckiest rollout rather than the best action. Unlike the
+        policy-gradient EFE (where the epistemic term is a zero-gradient
+        island, see ``compute_expected_free_energy``), planning compares
+        VALUES, so the epistemic term is included whenever
+        ``epistemic_weight != 0``.
+
+        Cost: C x num_efe_trajectories x horizon dynamics steps per act.
+        Gated by ``ActiveInferenceConfig.plan_candidates`` at the agent level.
         """
         cfg = self.config
         n_cand = cfg.plan_candidates if num_candidates is None else num_candidates
@@ -987,23 +1018,32 @@ class DiffusionActiveInference:
             action, _ = sample_action(dist, k, squash=self.policy_squash)
             return action
 
-        cand_keys = jax.random.split(cand_key, n_cand)
-        candidates = jax.vmap(sample_candidate)(cand_keys)  # (C, B, A)
+        mode_action, _ = sample_action(dist, None, deterministic=True,
+                                       squash=self.policy_squash)
+        cand_keys = jax.random.split(cand_key, max(n_cand - 1, 1))
+        sampled = jax.vmap(sample_candidate)(cand_keys)  # (C-1, B, A)
+        candidates = jnp.concatenate([mode_action[None], sampled[: n_cand - 1]], axis=0)
 
         pref = (
             preference_temperature
             if preference_temperature is not None
             else jnp.asarray(cfg.preference_temperature)
         )
+        rm0 = (
+            epistemic_running_mean
+            if epistemic_running_mean is not None
+            else jnp.zeros((), dtype=latent.dtype)
+        )
 
-        def score_candidate(action, k):
+        def score_candidate(action):
             efe, _ = self.compute_expected_free_energy(
-                params, latent, k, pref, first_action=action,
+                params, latent, efe_key, pref, first_action=action,
+                epistemic_running_mean=rm0,
+                include_epistemic=cfg.epistemic_weight != 0.0,
             )
             return efe  # (B,)
 
-        efe_keys = jax.random.split(efe_key, n_cand)
-        efes = jax.vmap(score_candidate)(candidates, efe_keys)  # (C, B)
+        efes = jax.vmap(score_candidate)(candidates)  # (C, B)
 
         if temp and temp > 0.0:
             # Boltzmann selection p(a_c) ∝ exp(-G_c / T) per batch element.

@@ -41,6 +41,12 @@ def main():
     parser.add_argument("--deterministic-beliefs", action="store_true",
                         help="noise-free belief sweeps (posterior-mean analogue)")
     parser.add_argument("--pragmatic-weight", type=float, default=1.0)
+    parser.add_argument("--posterior-beliefs", action="store_true",
+                        help="amortized q(z|o) grounds the score target (DEVIATIONS.md)")
+    parser.add_argument("--act-from-posterior", action="store_true",
+                        help="act from the posterior head instead of the sweep")
+    parser.add_argument("--entropy-scale", type=float, default=3e-4,
+                        help="imagined-actor entropy bonus scale")
     args = parser.parse_args()
 
     import jax
@@ -81,6 +87,9 @@ def main():
         imagined_value_targets=args.imagined_value_targets,
         deterministic_beliefs=args.deterministic_beliefs,
         pragmatic_weight=args.pragmatic_weight,
+        posterior_beliefs=args.posterior_beliefs,
+        act_from_posterior=args.act_from_posterior,
+        imagined_entropy_scale=args.entropy_scale,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
     training_config = TrainingConfig(buffer_size=50_000)
@@ -100,11 +109,18 @@ def main():
     def policy_fn_builder(params, noise_scale):
         def policy_fn(obs, key):
             belief_key, act_key = jax.random.split(key)
-            belief = agent.core.generate_beliefs(
-                params, belief_key, obs, compute_reconstruction=False,
-                deterministic=config.deterministic_beliefs,
-            )
-            dist = agent.core.apply_policy(params["policy"], belief.latent)
+            if config.act_from_posterior:
+                latent = agent.core.sample_posterior(
+                    params["posterior"], belief_key, obs,
+                    deterministic=config.deterministic_beliefs,
+                )
+            else:
+                belief = agent.core.generate_beliefs(
+                    params, belief_key, obs, compute_reconstruction=False,
+                    deterministic=config.deterministic_beliefs,
+                )
+                latent = belief.latent
+            dist = agent.core.apply_policy(params["policy"], latent)
             # Same squashing as training/imagination (collect-train action
             # distribution mismatch otherwise).
             action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)

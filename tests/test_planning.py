@@ -94,6 +94,41 @@ def test_first_action_only_replaces_step_zero(plan_agent_and_state):
     np.testing.assert_allclose(np.asarray(efe), np.asarray(expected), rtol=1e-5)
 
 
+def test_imagine_deterministic_matches_mean_rollout():
+    """imagine_deterministic: the EFE rollout steps on the dynamics MEAN
+    (no fixed-variance noise), so a horizon-1 committed-action EFE matches
+    the noise-free hand rollout exactly."""
+    from tests.test_agent_train import tiny_config
+
+    cfg, tcfg = tiny_config()
+    cfg.imagine_deterministic = True
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    core = agent.core
+    latent = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    a = jnp.full((2, 2), -0.4)
+    n_traj = 2
+    efe, _ = core.compute_expected_free_energy(
+        state.params, latent, jax.random.PRNGKey(2), jnp.asarray(1.0),
+        horizon=1, num_trajectories=n_traj, first_action=a,
+    )
+    z0 = jnp.tile(latent, (n_traj, 1))
+    a_t = jnp.tile(a, (n_traj, 1))
+    dist = core.apply_policy(state.params["policy"], z0)
+    next_z, _ = core.predict_next_latent(state.params["dynamics"], z0, a_t)
+    reward_mean, _ = core.predict_reward(state.params["reward"], next_z)
+    t0 = jnp.zeros((next_z.shape[0],), z0.dtype)
+    pragmatic = reward_mean + cfg.efe_value_weight * core.apply_value(
+        state.params["value"], next_z, t0
+    )
+    step_efe = (
+        cfg.semantics.pragmatic_sign * pragmatic
+        + cfg.consistency_weight * (-dist.entropy())
+    )
+    expected = jnp.mean(step_efe.reshape(n_traj, 2), axis=0)
+    np.testing.assert_allclose(np.asarray(efe), np.asarray(expected), rtol=1e-5)
+
+
 def test_act_planned_argmin_property(plan_agent_and_state):
     """At temperature 0 the chosen EFE is the per-element minimum, hence
     <= the candidate mean; spread is nonnegative; repeat calls agree."""
