@@ -90,11 +90,96 @@ def resolve_checkpoint_path(path_or_dir: str) -> Path:
     raise FileNotFoundError(f"No checkpoint found under {path_or_dir}")
 
 
+def _same_structure(saved, template) -> bool:
+    return jax.tree_util.tree_structure(saved) == jax.tree_util.tree_structure(
+        template
+    )
+
+
+def _lenient_restore(ckptr, state_path, template_state: AgentTrainState):
+    """Best-effort restore of a checkpoint whose pytree predates the current
+    ``AgentTrainState`` (e.g. missing the ``posterior`` param group or the
+    ``target_value`` field added later). Per top-level field / per param
+    group: use the saved subtree when its structure matches the template,
+    else keep the template's (fresh) value. Optimizer states whose structure
+    changed restart fresh (a resumed run re-warms Adam moments in a few
+    hundred steps; losing trained params would be far worse)."""
+    raw = ckptr.restore(state_path)  # saved structure, nested dicts
+    if not isinstance(raw, dict):
+        raise TypeError(f"unexpected checkpoint payload: {type(raw)}")
+    dropped = []
+
+    def merge_groups(saved_groups, template_groups, label):
+        out = {}
+        for k, tv in template_groups.items():
+            sv = saved_groups.get(k) if isinstance(saved_groups, dict) else None
+            if sv is not None and _same_structure(sv, tv):
+                out[k] = sv
+            else:
+                out[k] = tv
+                dropped.append(f"{label}.{k}")
+        return out
+
+    new_params = merge_groups(raw.get("params", {}), template_state.params, "params")
+    new_opt = merge_groups(
+        raw.get("opt_states", {}), template_state.opt_states, "opt_states"
+    )
+
+    def field(name):
+        sv = raw.get(name)
+        tv = getattr(template_state, name)
+        if sv is not None and _same_structure(sv, tv):
+            return sv
+        dropped.append(name)
+        return tv
+
+    ema_score = raw.get("ema_score")
+    if ema_score is None or not _same_structure(ema_score, new_params["score"]):
+        ema_score = jax.tree_util.tree_map(lambda x: x, new_params["score"])
+        dropped.append("ema_score")
+    target_value = raw.get("target_value")
+    if target_value is None or not _same_structure(target_value, new_params["value"]):
+        # Slow critic starts at the restored live critic, not at init.
+        target_value = jax.tree_util.tree_map(lambda x: x, new_params["value"])
+        dropped.append("target_value")
+
+    reward_norm = template_state.reward_norm
+    saved_norm = raw.get("reward_norm")
+    if isinstance(saved_norm, dict):
+        try:
+            reward_norm = reward_norm.replace(**saved_norm)
+        except TypeError:
+            dropped.append("reward_norm")
+
+    state = template_state.replace(
+        step=field("step"),
+        params=new_params,
+        opt_states=new_opt,
+        ema_score=ema_score,
+        target_value=target_value,
+        time_importance=field("time_importance"),
+        epistemic_running_mean=field("epistemic_running_mean"),
+        reward_norm=reward_norm,
+        preference_temperature=field("preference_temperature"),
+        rng=field("rng"),
+    )
+    if dropped:
+        print(
+            "load_checkpoint: structure drift — reinitialized from template: "
+            + ", ".join(dropped)
+        )
+    return state
+
+
 def load_checkpoint(
     path_or_dir: str, template_state: AgentTrainState, replay_template=None
 ) -> Tuple[AgentTrainState, Dict[str, Any]]:
     """Restore a train state (using ``template_state`` for structure/shapes)
     plus the host metadata dict (reference: utils/training.py:125-172).
+
+    Checkpoints written before a pytree-structure change (new param group /
+    train-state field) restore leniently: matching subtrees are kept, new
+    ones start from the template (see ``_lenient_restore``).
 
     With ``replay_template`` (a ReplayState matching the saved shapes), a
     checkpointed replay buffer is restored too and returned in the metadata
@@ -102,7 +187,10 @@ def load_checkpoint(
     path = resolve_checkpoint_path(path_or_dir)
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
-        state = ckptr.restore(path / "state", abstract)
+        try:
+            state = ckptr.restore(path / "state", abstract)
+        except Exception:
+            state = _lenient_restore(ckptr, path / "state", template_state)
         replay_state = None
         if replay_template is not None and (path / "replay").exists():
             replay_abstract = jax.tree_util.tree_map(

@@ -59,6 +59,51 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_lenient_migration(tmp_path):
+    """A checkpoint written before a pytree-structure change (here: the old
+    layout without the 'posterior' param group or the target_value field)
+    still restores: matching subtrees keep their saved values, new ones come
+    from the template, target_value starts at the restored live critic."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
+
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+
+    old = dataclasses.asdict(state)  # nested dicts, like a raw orbax restore
+    del old["target_value"]
+    old["params"] = {k: v for k, v in old["params"].items() if k != "posterior"}
+    # Old model-group opt state lacked the posterior leaf -> structure drift.
+    path = tmp_path / "old" / "checkpoint_7"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", old, force=True)
+    (path / "meta.json").write_text('{"total_steps": 7}')
+
+    template = agent.init_train_state(jax.random.PRNGKey(1))
+    restored, meta = load_checkpoint(str(path), template)
+    assert meta["total_steps"] == 7
+
+    # Saved groups survive...
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params["score"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params["score"])[0]),
+    )
+    # ...the missing group comes from the template...
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params["posterior"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(template.params["posterior"])[0]),
+    )
+    # ...and the slow critic starts at the restored live critic.
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.target_value)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.params["value"])[0]),
+    )
+    assert int(restored.step) == int(state.step)
+
+
 def test_logger_jsonl(tmp_path):
     from active_inference_diffusion_tpu.utils.logger import Logger
 
