@@ -69,6 +69,9 @@ class AgentTrainState(struct.PyTreeNode):
     # actor cannot chase its own critic updates (extension; the reference
     # bootstraps from the live value net, agents/state_agent.py:195-204).
     target_value: Any
+    # EMA of the imagined-return 5th-95th percentile range (Dreamer-v3
+    # return normalization; advances only with imagined_value_targets).
+    return_scale: jnp.ndarray
     time_importance: jnp.ndarray  # (100,) loss-aware time-sampling weights
     epistemic_running_mean: jnp.ndarray  # MINE EMA state
     reward_norm: RewardNormState
@@ -199,6 +202,7 @@ class BaseAgent:
             opt_states=opt_states,
             ema_score=init_ema(params["score"]),
             target_value=init_ema(params["value"]),
+            return_scale=jnp.ones((), jnp.float32),
             time_importance=init_time_importance(),
             epistemic_running_mean=jnp.zeros((), jnp.float32),
             reward_norm=RewardNormState.create(),

@@ -418,6 +418,7 @@ class DiffusionStateAgent(BaseAgent):
                 actor_loss, imag, info = core.imagined_lambda_objective(
                     p, latents, policy_key, state.preference_temperature,
                     value_params=state.target_value,
+                    return_scale=state.return_scale,
                 )
                 return actor_loss, (imag, info)
 
@@ -464,9 +465,19 @@ class DiffusionStateAgent(BaseAgent):
             ts_flat = ts_im.reshape(h * n)
             tgt_flat = tgt_im.reshape(h * n)
 
+            # Slow-critic regularizer (Dreamer-v3): anchor the live critic to
+            # its own EMA's predictions on the imagined distribution so the
+            # (actor -> returns -> critic -> bootstrap) loop cannot co-drift.
+            v_ema = jax.lax.stop_gradient(
+                core.apply_value(state.target_value, zs_flat, ts_flat)
+            )
+
             def value_loss_fn(sub: Params):
                 v = core.apply_value(sub["value"], zs_flat, ts_flat)
-                return jnp.mean(optax.huber_loss(v, tgt_flat))
+                return jnp.mean(optax.huber_loss(v, tgt_flat)) + (
+                    cfg.value_ema_regularizer
+                    * jnp.mean(optax.huber_loss(v, v_ema))
+                )
 
         else:
             b = latents.shape[0]
@@ -554,8 +565,15 @@ class DiffusionStateAgent(BaseAgent):
             new_target_value = update_ema(
                 state.target_value, new_params["value"], cfg.target_value_decay
             )
+            # EMA of the imagined-return percentile range (Dreamer-v3 return
+            # normalization scale; consumed next step by the actor loss).
+            new_return_scale = (
+                cfg.return_norm_decay * state.return_scale
+                + (1.0 - cfg.return_norm_decay) * efe_info["imagined/return_range"]
+            )
         else:
             new_target_value = state.target_value
+            new_return_scale = state.return_scale
 
         new_state = state.replace(
             step=state.step + 1,
@@ -563,6 +581,7 @@ class DiffusionStateAgent(BaseAgent):
             opt_states=new_opt_states,
             ema_score=new_ema,
             target_value=new_target_value,
+            return_scale=new_return_scale,
             time_importance=new_time_importance,
             epistemic_running_mean=new_running_mean,
             reward_norm=new_reward_norm,

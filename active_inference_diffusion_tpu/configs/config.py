@@ -194,6 +194,20 @@ class ActiveInferenceConfig:
     # EMA decay of the slow critic bootstrapping imagined lambda-returns
     # (Dreamer-style target network; only active with imagined_value_targets).
     target_value_decay: float = 0.98
+    # Dreamer-v3 return normalization for the imagined actor: divide the
+    # lambda-returns in the actor objective by max(1, S), where S is an EMA
+    # of the per-batch 5th-95th percentile range of imagined returns. Keeps
+    # the fixed entropy bonus at a constant relative scale and stops the
+    # actor chasing exploding model-predicted returns (the observed
+    # actor-exploits-model failure, DEVIATIONS.md). Only active with
+    # imagined_value_targets.
+    imagined_return_norm: bool = True
+    return_norm_decay: float = 0.99
+    # Slow-critic regularizer weight (Dreamer-v3): the critic loss adds
+    # w * huber(V_live(z_im), sg(V_ema(z_im))) on the imagined states,
+    # anchoring the live critic to its own EMA so actor and critic cannot
+    # co-drift. Only active with imagined_value_targets.
+    value_ema_regularizer: float = 1.0
     # Fixed next-latent log-variance of the learned dynamics (the reference
     # hardcodes log(0.1), core/active_inference.py:463 — an arbitrary,
     # untrained constant). sigma~0.32/dim compounds over the imagination

@@ -621,6 +621,7 @@ class DiffusionActiveInference:
         horizon: Optional[int] = None,
         num_trajectories: Optional[int] = None,
         value_params: Optional[Any] = None,
+        return_scale: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Actor loss = -mean imagined lambda-return (+entropy bonus), plus
         the (stop-gradient) imagined states/targets for the critic.
@@ -628,6 +629,12 @@ class DiffusionActiveInference:
         ``value_params`` overrides the critic used for the bootstrap — pass
         the EMA slow critic (AgentTrainState.target_value) so the actor and
         the critic targets don't chase the live critic's updates.
+
+        ``return_scale`` (scalar; AgentTrainState.return_scale) enables
+        Dreamer-v3 return normalization when ``cfg.imagined_return_norm``:
+        the actor's returns are divided by max(1, stop_gradient(scale)).
+        The per-batch 5th-95th percentile range of the imagined returns is
+        reported as ``imagined/return_range`` for the caller's EMA update.
 
         This is the DreamerV2 actor-critic recipe grafted onto the diffusion
         world model: imagine H steps through the learned dynamics, score them
@@ -696,13 +703,27 @@ class DiffusionActiveInference:
         )
         lambda_returns = returns_rev[::-1]  # (H, N)
 
+        # Dreamer-v3 return normalization: dividing by the (EMA'd) 5th-95th
+        # percentile range keeps the actor gradient and the fixed entropy
+        # bonus at a constant relative scale whatever the reward magnitude —
+        # without it, model-predicted returns that inflate as the actor
+        # exploits world-model error also inflate their own gradient.
+        sg = jax.lax.stop_gradient
+        return_range = jnp.percentile(sg(lambda_returns), 95.0) - jnp.percentile(
+            sg(lambda_returns), 5.0
+        )
+        if cfg.imagined_return_norm and return_scale is not None:
+            norm = jnp.maximum(1.0, sg(return_scale))
+        else:
+            norm = jnp.asarray(1.0, lambda_returns.dtype)
+
         # Entropy regularizer at Dreamer's continuous-control scale
         # (imagined_entropy_scale, default 3e-4) — NOT consistency_weight
         # (0.1): at 0.1 the entropy bonus dominates the imagined returns and
         # pins the log-std head at its clamp max (observed: entropy frozen at
         # dim*(1.419+2.0), eval collapsed to constant saturated actions).
         actor_loss = (
-            -jnp.mean(lambda_returns)
+            -jnp.mean(lambda_returns / norm)
             - cfg.imagined_entropy_scale * jnp.mean(entropies)
         )
         imagined_t = jnp.broadcast_to(t_indices[:, None], (horizon, n))
@@ -710,8 +731,9 @@ class DiffusionActiveInference:
             "imagined/lambda_return_mean": jnp.mean(lambda_returns),
             "imagined/reward_mean": jnp.mean(rewards),
             "imagined/entropy_mean": jnp.mean(entropies),
+            "imagined/return_range": return_range,
+            "imagined/return_norm": norm,
         }
-        sg = jax.lax.stop_gradient
         return actor_loss, (sg(zs), sg(imagined_t), sg(lambda_returns)), info
 
     # ------------------------------------------------------------------

@@ -19,6 +19,7 @@ Two styles, both idiomatic JAX:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -43,23 +44,25 @@ def make_dp_train_step(
     bsh = batch_sharding(mesh, "dp")
 
     def state_shardings(state):
-        # params (and their optimizer/EMA mirrors) may be TP-sharded; all
-        # other state is replicated.
+        # params (and their EMA mirrors) may be TP-sharded; every other
+        # train-state field is replicated — resolved generically over the
+        # dataclass fields so new AgentTrainState fields need no edit here.
         def spec_like_params(tree):
             return param_shardings(mesh, tree, tp_size)
 
-        return state.replace(
-            params=spec_like_params(state.params),
-            opt_states=jax.tree_util.tree_map(lambda _: rep, state.opt_states),
-            ema_score=spec_like_params(state.ema_score),
-            target_value=spec_like_params(state.target_value),
-            time_importance=rep,
-            epistemic_running_mean=rep,
-            reward_norm=jax.tree_util.tree_map(lambda _: rep, state.reward_norm),
-            preference_temperature=rep,
-            rng=rep,
-            step=rep,
-        )
+        special = {
+            "params": spec_like_params(state.params),
+            "ema_score": spec_like_params(state.ema_score),
+            "target_value": spec_like_params(state.target_value),
+        }
+        kwargs = {
+            f.name: special.get(
+                f.name,
+                jax.tree_util.tree_map(lambda _: rep, getattr(state, f.name)),
+            )
+            for f in dataclasses.fields(state)
+        }
+        return state.replace(**kwargs)
 
     def place_state(state):
         sh = state_shardings(state)

@@ -10,6 +10,7 @@ README.md:77 vs examples/train_mujoco.py:443-456).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 from typing import Any, Dict, Tuple
@@ -151,18 +152,24 @@ def _lenient_restore(ckptr, state_path, template_state: AgentTrainState):
         except TypeError:
             dropped.append("reward_norm")
 
-    state = template_state.replace(
-        step=field("step"),
-        params=new_params,
-        opt_states=new_opt,
-        ema_score=ema_score,
-        target_value=target_value,
-        time_importance=field("time_importance"),
-        epistemic_running_mean=field("epistemic_running_mean"),
-        reward_norm=reward_norm,
-        preference_temperature=field("preference_temperature"),
-        rng=field("rng"),
-    )
+    special = {
+        "params": new_params,
+        "opt_states": new_opt,
+        "ema_score": ema_score,
+        "target_value": target_value,
+        "reward_norm": reward_norm,
+    }
+    # Every other train-state field migrates generically (saved value if the
+    # structure matches, template value otherwise) — new fields added to
+    # AgentTrainState need no checkpoint-migration code.
+    kwargs = {
+        f.name: special.get(f.name, ...) for f in dataclasses.fields(template_state)
+    }
+    kwargs = {
+        name: (field(name) if value is ... else value)
+        for name, value in kwargs.items()
+    }
+    state = template_state.replace(**kwargs)
     if dropped:
         print(
             "load_checkpoint: structure drift — reinitialized from template: "

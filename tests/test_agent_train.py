@@ -489,6 +489,72 @@ def test_imagined_value_targets_mode():
     assert not np.allclose(np.asarray(tgt_zero), np.asarray(tgt))
 
 
+def test_imagined_return_normalization():
+    """Dreamer-v3 return normalization: the actor's return term is divided
+    by max(1, scale) (entropy term untouched); the train step advances the
+    return_scale EMA toward the batch percentile range; default (EFE) mode
+    leaves return_scale frozen."""
+    cfg, tcfg = tiny_config()
+    cfg.imagined_value_targets = True
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    latent = jax.random.normal(jax.random.PRNGKey(2), (3, 8))
+
+    def loss_at(scale):
+        l, _, info = agent.core.imagined_lambda_objective(
+            state.params, latent, jax.random.PRNGKey(3), jnp.asarray(1.0),
+            horizon=3, num_trajectories=2, return_scale=jnp.asarray(scale),
+        )
+        return float(l), info
+
+    l1, info1 = loss_at(1.0)
+    l4, info4 = loss_at(4.0)
+    lhalf, _ = loss_at(0.5)  # clamps to 1
+    r_mean = float(info1["imagined/lambda_return_mean"])
+    np.testing.assert_allclose(l4 - l1, r_mean - r_mean / 4.0, rtol=1e-5)
+    np.testing.assert_allclose(lhalf, l1, rtol=1e-6)
+    rng = float(info1["imagined/return_range"])
+    assert rng >= 0.0 and np.isfinite(rng)
+
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, metrics = agent.train_step(state, batch)
+    d = cfg.return_norm_decay
+    np.testing.assert_allclose(
+        float(new_state.return_scale),
+        d * float(state.return_scale)
+        + (1 - d) * float(metrics["imagined/return_range"]),
+        rtol=1e-5,
+    )
+
+    cfg2, tcfg2 = tiny_config()
+    agent2 = DiffusionStateAgent(5, 2, cfg2, tcfg2)
+    s2 = agent2.init_train_state(jax.random.PRNGKey(0))
+    s2_new, _ = agent2.train_step(s2, batch)
+    np.testing.assert_allclose(float(s2_new.return_scale), 1.0)
+
+
+def test_value_ema_regularizer():
+    """The slow-critic regularizer pulls the live critic toward the EMA
+    critic's predictions: with a diverged target_value the value loss is
+    strictly larger at w=1 than at w=0 (same state/batch/keys)."""
+    batch = make_batch(jax.random.PRNGKey(1))
+    losses = {}
+    for w in (0.0, 1.0):
+        cfg, tcfg = tiny_config()
+        cfg.imagined_value_targets = True
+        cfg.value_ema_regularizer = w
+        agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+        state = agent.init_train_state(jax.random.PRNGKey(0))
+        state = state.replace(
+            target_value=jax.tree_util.tree_map(
+                lambda x: x + 0.3, state.target_value
+            )
+        )
+        _, metrics = agent.train_step(state, batch)
+        losses[w] = float(metrics["value_loss"])
+    assert losses[1.0] > losses[0.0]
+
+
 def test_deterministic_beliefs_flag():
     """deterministic_beliefs: the belief becomes key-independent given the
     start noise... actually fully deterministic only given z_init; through
