@@ -47,6 +47,14 @@ def main():
                         help="act from the posterior head instead of the sweep")
     parser.add_argument("--entropy-scale", type=float, default=3e-4,
                         help="imagined-actor entropy bonus scale")
+    parser.add_argument("--imagine-deterministic", action="store_true",
+                        help="roll imagination on the dynamics mean (no "
+                             "fixed-variance noise; DEVIATIONS.md)")
+    parser.add_argument("--train-epoch", action="store_true",
+                        help="run each iteration's updates as ONE jitted "
+                             "lax.scan (agent.train_epoch) — essential "
+                             "through a remote chip")
+    parser.add_argument("--buffer-size", type=int, default=50_000)
     args = parser.parse_args()
 
     import jax
@@ -90,9 +98,10 @@ def main():
         posterior_beliefs=args.posterior_beliefs,
         act_from_posterior=args.act_from_posterior,
         imagined_entropy_scale=args.entropy_scale,
+        imagine_deterministic=args.imagine_deterministic,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
-    training_config = TrainingConfig(buffer_size=50_000)
+    training_config = TrainingConfig(buffer_size=args.buffer_size)
     agent = DiffusionStateAgent(
         env.observation_dim, env.action_dim, config, training_config
     )
@@ -162,10 +171,16 @@ def main():
 
         metrics = {}
         if int(replay.size) >= config.batch_size:
-            for _ in range(args.updates_per_iter):
-                key, skey = jax.random.split(key)
-                batch = replay_sample(replay, skey, config.batch_size)
-                state, metrics = agent.train_step(state, batch)
+            if args.train_epoch:
+                key, ekey = jax.random.split(key)
+                state, metrics = agent.train_epoch(
+                    state, replay, ekey, args.updates_per_iter
+                )
+            else:
+                for _ in range(args.updates_per_iter):
+                    key, skey = jax.random.split(key)
+                    batch = replay_sample(replay, skey, config.batch_size)
+                    state, metrics = agent.train_step(state, batch)
         agent.update_exploration()
         dt = time.perf_counter() - t0
 
