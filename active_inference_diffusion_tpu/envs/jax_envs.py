@@ -281,6 +281,43 @@ def fused_collect(
     return transitions, final_states
 
 
+def fused_eval(
+    env: JaxEnv,
+    policy_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+    key: jax.Array,
+    num_envs: int,
+    num_steps: Optional[int] = None,
+) -> jnp.ndarray:
+    """Mean episodic return of ``policy_fn`` over ``num_envs`` fresh
+    episodes, rolled entirely on device (counterpart of
+    utils/training.evaluate_agent_batched for JAX-native envs; the
+    reference evaluates host episodes serially, utils/training.py:15-69).
+
+    Rolls exactly one episode per env (``num_steps`` defaults to
+    ``env.max_episode_steps``, no autoreset); rewards after an env's
+    ``done`` are masked out, so shorter-than-max episodes score correctly.
+    Pass a deterministic ``policy_fn`` for eval semantics.
+    """
+    num_steps = env.max_episode_steps if num_steps is None else num_steps
+    reset_key, scan_key = jax.random.split(key)
+    states = jax.vmap(env.reset)(jax.random.split(reset_key, num_envs))
+    step_env = jax.vmap(env.step)
+
+    def body(carry, step_key):
+        states, total, alive = carry
+        actions = policy_fn(states.obs, step_key)
+        next_states = step_env(states, actions)
+        total = total + alive * next_states.reward
+        alive = alive * (1.0 - next_states.done.astype(total.dtype))
+        return (next_states, total, alive), None
+
+    init = (states, jnp.zeros((num_envs,)), jnp.ones((num_envs,)))
+    (_, total, _), _ = jax.lax.scan(
+        body, init, jax.random.split(scan_key, num_steps)
+    )
+    return jnp.mean(total)
+
+
 def flatten_transitions(t: Transitions) -> Transitions:
     """(T, N, ...) -> (T*N, ...)."""
     return Transitions(

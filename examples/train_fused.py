@@ -55,6 +55,10 @@ def main():
                              "lax.scan (agent.train_epoch) — essential "
                              "through a remote chip")
     parser.add_argument("--buffer-size", type=int, default=50_000)
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="every N iterations, roll full deterministic "
+                             "episodes on device and log mean return")
+    parser.add_argument("--eval-envs", type=int, default=64)
     args = parser.parse_args()
 
     import jax
@@ -74,6 +78,7 @@ def main():
     from active_inference_diffusion_tpu.envs.jax_envs import (
         flatten_transitions,
         fused_collect,
+        fused_eval,
         make_jax_env,
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
@@ -138,6 +143,27 @@ def main():
         return policy_fn
 
     @jax.jit
+    def eval_return(params, key):
+        def eval_policy(obs, k):
+            if config.act_from_posterior:
+                latent = agent.core.sample_posterior(
+                    params["posterior"], k, obs, deterministic=True
+                )
+            else:
+                belief = agent.core.generate_beliefs(
+                    params, k, obs, compute_reconstruction=False,
+                    deterministic=True,
+                )
+                latent = belief.latent
+            dist = agent.core.apply_policy(params["policy"], latent)
+            action, _ = sample_action(
+                dist, None, deterministic=True, squash=agent.core.policy_squash
+            )
+            return jnp.clip(action, -1.0, 1.0) * act_scale
+
+        return fused_eval(env, eval_policy, key, args.eval_envs)
+
+    @jax.jit
     def collect_and_store(params, replay, env_states, key, noise_scale):
         transitions, env_states = fused_collect(
             env,
@@ -189,12 +215,17 @@ def main():
             "fused/env_steps_per_sec": args.num_envs * args.steps_per_iter / dt,
             **{k: float(v) for k, v in metrics.items()},
         }
+        eval_str = ""
+        if args.eval_every and (it % args.eval_every == 0 or it == args.iterations - 1):
+            key, evkey = jax.random.split(key)
+            log["fused/eval_return"] = float(eval_return(state.params, evkey))
+            eval_str = f" eval_return={log['fused/eval_return']:.1f}"
         logger.log(log, total_steps)
-        if it % 10 == 0 or it == args.iterations - 1:
+        if it % 10 == 0 or it == args.iterations - 1 or eval_str:
             print(
                 f"[iter {it}] steps={total_steps} "
                 f"mean_step_reward={float(mean_reward):.3f} "
-                f"steps/s={log['fused/env_steps_per_sec']:.0f}"
+                f"steps/s={log['fused/env_steps_per_sec']:.0f}" + eval_str
             )
 
     print("done")

@@ -157,3 +157,26 @@ def test_mjx_adapter_gating():
         assert state.obs.shape == (env.observation_dim,)
         state = env.step(state, jnp.zeros(env.action_dim))
         assert np.isfinite(np.asarray(state.obs)).all()
+
+
+def test_fused_eval_masks_after_done():
+    """fused_eval: mean episodic return is finite, within Pendulum's reward
+    bounds, and rewards after an env's done are masked out — rolling past
+    max_episode_steps does not change the return."""
+    from active_inference_diffusion_tpu.envs.jax_envs import fused_eval, make_jax_env
+
+    env = make_jax_env("Pendulum-v1")
+
+    def zero_policy(obs, key):
+        return jnp.zeros((obs.shape[0], env.action_dim))
+
+    ev = jax.jit(
+        lambda key, n: fused_eval(env, zero_policy, key, 4, num_steps=n),
+        static_argnums=(1,),
+    )
+    r_full = float(ev(jax.random.PRNGKey(0), env.max_episode_steps))
+    r_over = float(ev(jax.random.PRNGKey(0), env.max_episode_steps + 37))
+    assert np.isfinite(r_full)
+    # Pendulum per-step reward is in [-16.28, 0]
+    assert -16.28 * env.max_episode_steps <= r_full <= 0.0
+    np.testing.assert_allclose(r_full, r_over, rtol=1e-6)
