@@ -59,6 +59,10 @@ def main():
                         help="every N iterations, roll full deterministic "
                              "episodes on device and log mean return")
     parser.add_argument("--eval-envs", type=int, default=64)
+    parser.add_argument("--no-return-norm", action="store_true",
+                        help="ablate Dreamer-v3 return normalization")
+    parser.add_argument("--value-ema-reg", type=float, default=1.0,
+                        help="slow-critic regularizer weight (0 = ablate)")
     args = parser.parse_args()
 
     import jax
@@ -104,6 +108,8 @@ def main():
         act_from_posterior=args.act_from_posterior,
         imagined_entropy_scale=args.entropy_scale,
         imagine_deterministic=args.imagine_deterministic,
+        imagined_return_norm=not args.no_return_norm,
+        value_ema_regularizer=args.value_ema_reg,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
     training_config = TrainingConfig(buffer_size=args.buffer_size)
