@@ -32,7 +32,7 @@ def build_configs(args):
     else:
         # Reference entry-point values (examples/train_mujoco.py:150-186)
         config = ActiveInferenceConfig(
-            env_name=args.env,
+            env_name=args.env or "HalfCheetah-v4",
             latent_dim=32,
             hidden_dim=128,
             learning_rate=5e-5,
@@ -80,7 +80,9 @@ def main():
     )
     parser.add_argument(
         "--env",
-        default="HalfCheetah-v4",
+        # None so a YAML --config's env_name is honored when --env is not
+        # passed explicitly (resolved to HalfCheetah-v4 in build_configs).
+        default=None,
         choices=[
             "HalfCheetah-v4", "Hopper-v4", "Walker2d-v4",
             "Ant-v4", "Humanoid-v4", "HumanoidStandup-v4",
