@@ -9,6 +9,7 @@ reference README advertises but its entry point lacks (README.md:69-81).
 from __future__ import annotations
 
 import argparse
+import json
 import time
 from pathlib import Path
 
@@ -180,6 +181,15 @@ def main():
 
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
     steps_collected = 0
+    # Carry the best-eval bar across resumes so a worse resumed run cannot
+    # clobber the saved best checkpoint.
+    best_eval_reward = float("-inf")
+    _best_meta = Path(training_config.checkpoint_dir) / "best" / "meta.json"
+    if _best_meta.exists():
+        try:
+            best_eval_reward = float(json.loads(_best_meta.read_text())["eval_reward"])
+        except (KeyError, ValueError, json.JSONDecodeError):
+            pass
 
     # --- replay + collector -------------------------------------------
     from active_inference_diffusion_tpu.data.replay import (
@@ -335,6 +345,20 @@ def main():
                     f"{eval_metrics['eval/episode_reward_mean']:.2f} "
                     f"± {eval_metrics['eval/episode_reward_std']:.2f}"
                 )
+                # Best-eval checkpoint: model-based RL policies can drift
+                # after their peak (observed on Pendulum/HalfCheetah,
+                # DEVIATIONS.md) — keep the best-scoring state around.
+                # Resume with --resume <checkpoint_dir>/best.
+                if eval_metrics["eval/episode_reward_mean"] > best_eval_reward:
+                    best_eval_reward = eval_metrics["eval/episode_reward_mean"]
+                    save_checkpoint(
+                        training_config.checkpoint_dir, state, steps_collected,
+                        exploration_noise=agent.exploration_noise,
+                        config=config, training_config=training_config,
+                        name="best", keep_latest_alias=False,
+                        extra_meta={"eval_reward": float(best_eval_reward)},
+                    )
+                    print(f"  new best eval -> {training_config.checkpoint_dir}/best")
 
             if steps_collected % training_config.save_frequency < n_collected:
                 path = save_checkpoint(

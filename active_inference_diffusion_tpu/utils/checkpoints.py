@@ -32,10 +32,14 @@ def save_checkpoint(
     training_config=None,
     keep_latest_alias: bool = True,
     replay_state=None,
+    name: str | None = None,
+    extra_meta: Dict[str, Any] | None = None,
 ) -> str:
     """Save the full train state plus host metadata. Writes
     ``checkpoint_<step>`` and refreshes a ``latest`` alias
-    (reference: utils/training.py:72-122).
+    (reference: utils/training.py:72-122). ``name`` overrides the directory
+    name (e.g. ``"best"`` for best-eval checkpointing, overwritten in
+    place); ``extra_meta`` merges into meta.json.
 
     ``replay_state``: optionally checkpoint the device replay buffer too —
     the reference never does (utils/training.py:87-103), which makes resumed
@@ -43,7 +47,7 @@ def save_checkpoint(
     (observed: HalfCheetah eval -402 -> -600 right after resume)."""
     ckpt_dir = Path(checkpoint_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    path = ckpt_dir / f"checkpoint_{step}"
+    path = ckpt_dir / (name if name is not None else f"checkpoint_{step}")
 
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state, force=True)
@@ -59,6 +63,8 @@ def save_checkpoint(
         meta["config"] = config_to_dict(config)
     if training_config is not None:
         meta["training_config"] = config_to_dict(training_config)
+    if extra_meta:
+        meta.update(extra_meta)
     with open(path / "meta.json", "w") as f:
         json.dump(meta, f, indent=2, default=str)
 

@@ -399,3 +399,37 @@ def test_epistemic_estimator_direct():
         use_finite_differences=True,
     )
     np.testing.assert_allclose(np.asarray(jvp), np.asarray(fd), rtol=0.2, atol=0.05)
+
+
+def test_best_checkpoint_name_and_meta(tmp_path):
+    """save_checkpoint(name='best'): saves under <dir>/best (overwritten in
+    place), records extra_meta, resolves for load, does not move 'latest'."""
+    from active_inference_diffusion_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    agent = tiny_agent()
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    p1 = save_checkpoint(str(tmp_path), state, 10)
+    best = save_checkpoint(
+        str(tmp_path), state, 10, name="best", keep_latest_alias=False,
+        extra_meta={"eval_reward": -123.5},
+    )
+    assert best.endswith("/best")
+    assert (tmp_path / "latest.txt").read_text().strip() == p1
+
+    # overwrite in place at a later step
+    state2 = agent.init_train_state(jax.random.PRNGKey(1))
+    save_checkpoint(
+        str(tmp_path), state2, 20, name="best", keep_latest_alias=False,
+        extra_meta={"eval_reward": -50.0},
+    )
+    template = agent.init_train_state(jax.random.PRNGKey(2))
+    restored, meta = load_checkpoint(str(tmp_path / "best"), template)
+    assert meta["eval_reward"] == -50.0
+    assert meta["total_steps"] == 20
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params["score"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state2.params["score"])[0]),
+    )
