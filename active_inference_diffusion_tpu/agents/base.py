@@ -72,6 +72,9 @@ class AgentTrainState(struct.PyTreeNode):
     # EMA of the imagined-return 5th-95th percentile range (Dreamer-v3
     # return normalization; advances only with imagined_value_targets).
     return_scale: jnp.ndarray
+    # log of the SAC-style auto-tuned entropy coefficient (used only with
+    # auto_entropy; init log(imagined_entropy_scale)).
+    log_alpha: jnp.ndarray
     time_importance: jnp.ndarray  # (100,) loss-aware time-sampling weights
     epistemic_running_mean: jnp.ndarray  # MINE EMA state
     reward_norm: RewardNormState
@@ -203,6 +206,9 @@ class BaseAgent:
             ema_score=init_ema(params["score"]),
             target_value=init_ema(params["value"]),
             return_scale=jnp.ones((), jnp.float32),
+            log_alpha=jnp.log(
+                jnp.asarray(self.config.imagined_entropy_scale, jnp.float32)
+            ),
             time_importance=init_time_importance(),
             epistemic_running_mean=jnp.zeros((), jnp.float32),
             reward_norm=RewardNormState.create(),

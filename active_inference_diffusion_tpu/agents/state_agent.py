@@ -419,6 +419,9 @@ class DiffusionStateAgent(BaseAgent):
                     p, latents, policy_key, state.preference_temperature,
                     value_params=state.target_value,
                     return_scale=state.return_scale,
+                    entropy_scale=(
+                        jnp.exp(state.log_alpha) if cfg.auto_entropy else None
+                    ),
                 )
                 return actor_loss, (imag, info)
 
@@ -571,9 +574,24 @@ class DiffusionStateAgent(BaseAgent):
                 cfg.return_norm_decay * state.return_scale
                 + (1.0 - cfg.return_norm_decay) * efe_info["imagined/return_range"]
             )
+            if cfg.auto_entropy:
+                # SAC alpha update in log space: dJ/d(alpha) = H - H_target,
+                # so alpha shrinks while entropy exceeds the target and
+                # grows while it falls short.
+                ent_target = (
+                    cfg.entropy_target
+                    if cfg.entropy_target is not None
+                    else -float(self.action_dim)
+                )
+                new_log_alpha = state.log_alpha - cfg.alpha_lr * (
+                    efe_info["imagined/entropy_mean"] - ent_target
+                )
+            else:
+                new_log_alpha = state.log_alpha
         else:
             new_target_value = state.target_value
             new_return_scale = state.return_scale
+            new_log_alpha = state.log_alpha
 
         new_state = state.replace(
             step=state.step + 1,
@@ -582,6 +600,7 @@ class DiffusionStateAgent(BaseAgent):
             ema_score=new_ema,
             target_value=new_target_value,
             return_scale=new_return_scale,
+            log_alpha=new_log_alpha,
             time_importance=new_time_importance,
             epistemic_running_mean=new_running_mean,
             reward_norm=new_reward_norm,

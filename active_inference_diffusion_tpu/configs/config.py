@@ -208,6 +208,22 @@ class ActiveInferenceConfig:
     # anchoring the live critic to its own EMA so actor and critic cannot
     # co-drift. Only active with imagined_value_targets.
     value_ema_regularizer: float = 1.0
+    # SAC-style automatic entropy tuning for the imagined actor: learn the
+    # entropy coefficient alpha (AgentTrainState.log_alpha) to hold policy
+    # entropy at entropy_target (None -> -action_dim, the SAC heuristic).
+    # Replaces the fixed imagined_entropy_scale. Addresses BOTH observed
+    # failure directions: entropy growth into noise-dominated acting
+    # (Pendulum, H -> +3.3) and entropy collapse into deterministic
+    # model-exploitation (HalfCheetah, H -> -7.2). Imagined mode only.
+    auto_entropy: bool = False
+    entropy_target: Optional[float] = None
+    alpha_lr: float = 3e-4
+    # Pessimism weight on imagined rewards: r_mean - w * r_std. The reward
+    # head's std is NLL-calibrated on replay, so latents the actor pushes
+    # out-of-distribution carry larger predicted std — penalizing them
+    # counters model-error exploitation (MOPO-style, arXiv:2005.13239;
+    # observed: imagined returns 11 -> 278 while real eval fell).
+    imagined_reward_pessimism: float = 0.0
     # Fixed next-latent log-variance of the learned dynamics (the reference
     # hardcodes log(0.1), core/active_inference.py:463 — an arbitrary,
     # untrained constant). sigma~0.32/dim compounds over the imagination

@@ -622,6 +622,7 @@ class DiffusionActiveInference:
         num_trajectories: Optional[int] = None,
         value_params: Optional[Any] = None,
         return_scale: Optional[jnp.ndarray] = None,
+        entropy_scale: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Actor loss = -mean imagined lambda-return (+entropy bonus), plus
         the (stop-gradient) imagined states/targets for the critic.
@@ -635,6 +636,13 @@ class DiffusionActiveInference:
         the actor's returns are divided by max(1, stop_gradient(scale)).
         The per-batch 5th-95th percentile range of the imagined returns is
         reported as ``imagined/return_range`` for the caller's EMA update.
+
+        ``entropy_scale`` (scalar) overrides ``cfg.imagined_entropy_scale``
+        — pass exp(AgentTrainState.log_alpha) for SAC-style auto-tuned
+        entropy (``cfg.auto_entropy``). With
+        ``cfg.imagined_reward_pessimism > 0`` imagined rewards are
+        penalized by w * predicted reward std (NLL-calibrated on replay;
+        MOPO-style guard against model-error exploitation).
 
         This is the DreamerV2 actor-critic recipe grafted onto the diffusion
         world model: imagine H steps through the learned dynamics, score them
@@ -672,7 +680,11 @@ class DiffusionActiveInference:
             else:
                 eps = jax.random.normal(dyn_key, next_mean.shape, next_mean.dtype)
                 next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
-            reward_mean, _ = self.predict_reward(params["reward"], next_z)
+            reward_mean, reward_std = self.predict_reward(params["reward"], next_z)
+            if cfg.imagined_reward_pessimism > 0.0:
+                reward_mean = (
+                    reward_mean - cfg.imagined_reward_pessimism * reward_std
+                )
             return next_z, (z, reward_mean, dist.entropy())
 
         t_indices = jnp.arange(horizon, dtype=latent.dtype)
@@ -722,9 +734,13 @@ class DiffusionActiveInference:
         # (0.1): at 0.1 the entropy bonus dominates the imagined returns and
         # pins the log-std head at its clamp max (observed: entropy frozen at
         # dim*(1.419+2.0), eval collapsed to constant saturated actions).
+        ent_scale = (
+            sg(entropy_scale)
+            if entropy_scale is not None
+            else jnp.asarray(cfg.imagined_entropy_scale, lambda_returns.dtype)
+        )
         actor_loss = (
-            -jnp.mean(lambda_returns / norm)
-            - cfg.imagined_entropy_scale * jnp.mean(entropies)
+            -jnp.mean(lambda_returns / norm) - ent_scale * jnp.mean(entropies)
         )
         imagined_t = jnp.broadcast_to(t_indices[:, None], (horizon, n))
         info = {
@@ -733,6 +749,7 @@ class DiffusionActiveInference:
             "imagined/entropy_mean": jnp.mean(entropies),
             "imagined/return_range": return_range,
             "imagined/return_norm": norm,
+            "imagined/entropy_scale": ent_scale,
         }
         return actor_loss, (sg(zs), sg(imagined_t), sg(lambda_returns)), info
 

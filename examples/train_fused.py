@@ -63,6 +63,13 @@ def main():
                         help="ablate Dreamer-v3 return normalization")
     parser.add_argument("--value-ema-reg", type=float, default=1.0,
                         help="slow-critic regularizer weight (0 = ablate)")
+    parser.add_argument("--auto-entropy", action="store_true",
+                        help="SAC-style auto-tuned entropy coefficient")
+    parser.add_argument("--entropy-target", type=float, default=None,
+                        help="entropy target for --auto-entropy "
+                             "(default -action_dim)")
+    parser.add_argument("--reward-pessimism", type=float, default=0.0,
+                        help="imagined reward penalty w * predicted std")
     args = parser.parse_args()
 
     import jax
@@ -110,6 +117,9 @@ def main():
         imagine_deterministic=args.imagine_deterministic,
         imagined_return_norm=not args.no_return_norm,
         value_ema_regularizer=args.value_ema_reg,
+        auto_entropy=args.auto_entropy,
+        entropy_target=args.entropy_target,
+        imagined_reward_pessimism=args.reward_pessimism,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
     training_config = TrainingConfig(buffer_size=args.buffer_size)

@@ -590,3 +590,69 @@ def test_deterministic_beliefs_flag():
     _, metrics = agent.train_step(state, batch)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_auto_entropy_alpha_update():
+    """SAC-style alpha: log_alpha moves opposite the entropy-target gap
+    (shrinks while H > target, grows while H < target), and the actor loss
+    uses exp(log_alpha) as its entropy scale."""
+    cfg, tcfg = tiny_config()
+    cfg.imagined_value_targets = True
+    cfg.auto_entropy = True
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, metrics = agent.train_step(state, batch)
+    target = -2.0  # default: -action_dim
+    expected = float(state.log_alpha) - cfg.alpha_lr * (
+        float(metrics["imagined/entropy_mean"]) - target
+    )
+    np.testing.assert_allclose(float(new_state.log_alpha), expected, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(metrics["imagined/entropy_scale"]),
+        float(jnp.exp(state.log_alpha)),
+        rtol=1e-5,
+    )
+
+    # explicit entropy_target is honored
+    cfg2, tcfg2 = tiny_config()
+    cfg2.imagined_value_targets = True
+    cfg2.auto_entropy = True
+    cfg2.entropy_target = 5.0
+    agent2 = DiffusionStateAgent(5, 2, cfg2, tcfg2)
+    s2 = agent2.init_train_state(jax.random.PRNGKey(0))
+    s2n, m2 = agent2.train_step(s2, batch)
+    expected2 = float(s2.log_alpha) - cfg2.alpha_lr * (
+        float(m2["imagined/entropy_mean"]) - 5.0
+    )
+    np.testing.assert_allclose(float(s2n.log_alpha), expected2, rtol=1e-5)
+
+
+def test_imagined_reward_pessimism():
+    """imagined_reward_pessimism subtracts w * predicted reward std from
+    every imagined reward: the reported imagined reward mean drops by
+    exactly w * mean(std) relative to the w=0 rollout (same keys)."""
+    cfg, tcfg = tiny_config()
+    cfg.imagined_value_targets = True
+    cfg.imagine_deterministic = True
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    latent = jax.random.normal(jax.random.PRNGKey(2), (3, 8))
+
+    def reward_mean_at(w):
+        agent.core.config.imagined_reward_pessimism = w
+        _, _, info = agent.core.imagined_lambda_objective(
+            state.params, latent, jax.random.PRNGKey(3), jnp.asarray(1.0),
+            horizon=2, num_trajectories=2,
+        )
+        return float(info["imagined/reward_mean"])
+
+    try:
+        r0 = reward_mean_at(0.0)
+        r1 = reward_mean_at(1.0)
+        r2 = reward_mean_at(2.0)
+    finally:
+        agent.core.config.imagined_reward_pessimism = 0.0
+    mean_std = r0 - r1
+    assert mean_std > 0  # predicted std is strictly positive
+    np.testing.assert_allclose(r2, r0 - 2.0 * mean_std, rtol=1e-4)
