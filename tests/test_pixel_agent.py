@@ -205,3 +205,35 @@ def test_pixel_warm_start_act():
     )
     assert actions.shape == (3, 2) and latents.shape == (3, 8)
     assert np.isfinite(actions).all() and (np.abs(actions) <= 1).all()
+
+
+def test_pixel_agent_imagined_mode_with_stabilizers():
+    """The pixel agent shares the imagined actor-critic path (train step is
+    inherited): a train step with the full stabilizer stack runs on pixel
+    batches, produces finite metrics, and advances log_alpha/return_scale."""
+    cfg = ActiveInferenceConfig(
+        action_dim=2, latent_dim=8, hidden_dim=32, score_num_layers=1,
+        batch_size=4, efe_horizon=2, num_efe_trajectories=2,
+        num_ambiguity_samples=2, epistemic_update_every=2,
+        pixel_observation=True,
+        imagined_value_targets=True, imagine_deterministic=True,
+        auto_entropy=True, imagined_reward_pessimism=0.5,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    pcfg = PixelObservationConfig(
+        image_shape=(C, H, W), frame_stack=FRAME_STACK, random_shift_pad=2
+    )
+    tcfg = TrainingConfig(buffer_size=32, collect_diffusion_steps=2)
+    agent = DiffusionPixelAgent(
+        obs_shape=(FRAME_STACK, C, H, W), action_dim=2,
+        config=cfg, training_config=tcfg, pixel_config=pcfg,
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = _pixel_batch(jax.random.PRNGKey(1))
+    new_state, metrics = agent.train_step(state, batch)
+    for name in ["imagined/lambda_return_mean", "imagined/entropy_scale",
+                 "value_loss", "policy_loss", "contrastive_loss"]:
+        assert np.isfinite(float(metrics[name])), name
+    assert float(new_state.log_alpha) != float(state.log_alpha)
+    assert float(new_state.return_scale) != float(state.return_scale)
