@@ -98,9 +98,12 @@ def make_optimizers(
                 optax.adamw(lr, weight_decay=1e-5),
             )
         elif name == "policy":
+            # policy_lr_scale < 1 lets the world model out-pace the actor —
+            # a standard guard against the actor racing ahead of (and then
+            # exploiting) a still-moving model.
             opts[name] = optax.chain(
                 optax.clip_by_global_norm(clip),
-                optax.adamw(lr, weight_decay=1e-5),
+                optax.adamw(lr * config.policy_lr_scale, weight_decay=1e-5),
             )
         elif name == "epistemic":
             opts[name] = optax.chain(

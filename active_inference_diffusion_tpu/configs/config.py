@@ -218,6 +218,10 @@ class ActiveInferenceConfig:
     auto_entropy: bool = False
     entropy_target: Optional[float] = None
     alpha_lr: float = 3e-4
+    # Actor learning-rate multiplier (policy group only). < 1 keeps the
+    # actor behind the world model — the remaining drift lever after
+    # return norm / auto-entropy / pessimism (see DEVIATIONS.md).
+    policy_lr_scale: float = 1.0
     # Pessimism weight on imagined rewards: r_mean - w * r_std. The reward
     # head's std is NLL-calibrated on replay, so latents the actor pushes
     # out-of-distribution carry larger predicted std — penalizing them

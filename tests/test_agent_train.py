@@ -656,3 +656,23 @@ def test_imagined_reward_pessimism():
     mean_std = r0 - r1
     assert mean_std > 0  # predicted std is strictly positive
     np.testing.assert_allclose(r2, r0 - 2.0 * mean_std, rtol=1e-4)
+
+
+def test_policy_lr_scale():
+    """policy_lr_scale=0 freezes the actor while every other group trains."""
+    cfg, tcfg = tiny_config()
+    cfg.policy_lr_scale = 0.0
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, _ = agent.train_step(state, batch)
+
+    def tree_diff(a, b):
+        return sum(
+            float(jnp.sum(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    assert tree_diff(state.params["policy"], new_state.params["policy"]) == 0
+    assert tree_diff(state.params["score"], new_state.params["score"]) > 0
+    assert tree_diff(state.params["value"], new_state.params["value"]) > 0
