@@ -228,6 +228,14 @@ class ActiveInferenceConfig:
     # counters model-error exploitation (MOPO-style, arXiv:2005.13239;
     # observed: imagined returns 11 -> 278 while real eval fell).
     imagined_reward_pessimism: float = 0.0
+    # Hard clip on imagined rewards, in normalized-reward units (0 = off).
+    # Replay rewards are normalized to ~N(0,1) before the reward head
+    # trains, so any imagined reward beyond a few sigma is necessarily
+    # model hallucination — MLPs extrapolate confidently, and the
+    # NLL-sigma pessimism above cannot catch confident extrapolation
+    # (measured: imagined per-step rewards ~22 normalized units while real
+    # collected rewards stayed ~N(0,1)). 5.0 is a generous bound.
+    imagined_reward_clip: float = 0.0
     # Fixed next-latent log-variance of the learned dynamics (the reference
     # hardcodes log(0.1), core/active_inference.py:463 — an arbitrary,
     # untrained constant). sigma~0.32/dim compounds over the imagination

@@ -544,7 +544,20 @@ class DiffusionActiveInference:
                 eps = jax.random.normal(dyn_key, next_mean.shape, dtype=next_mean.dtype)
                 next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
 
-            reward_mean, _ = self.predict_reward(params["reward"], next_z)
+            reward_mean, reward_std = self.predict_reward(params["reward"], next_z)
+            # Same imagination guards as imagined_lambda_objective: the EFE
+            # rollout consumes the same learned reward head on the same
+            # model-rolled latents.
+            if cfg.imagined_reward_pessimism > 0.0:
+                reward_mean = (
+                    reward_mean - cfg.imagined_reward_pessimism * reward_std
+                )
+            if cfg.imagined_reward_clip > 0.0:
+                reward_mean = jnp.clip(
+                    reward_mean,
+                    -cfg.imagined_reward_clip,
+                    cfg.imagined_reward_clip,
+                )
             pragmatic = prag_w * (reward_mean / preference_temperature)
             t_batch = jnp.full((n,), t_idx, dtype=z.dtype)
             value = self.apply_value(params["value"], next_z, t_batch)
@@ -684,6 +697,12 @@ class DiffusionActiveInference:
             if cfg.imagined_reward_pessimism > 0.0:
                 reward_mean = (
                     reward_mean - cfg.imagined_reward_pessimism * reward_std
+                )
+            if cfg.imagined_reward_clip > 0.0:
+                reward_mean = jnp.clip(
+                    reward_mean,
+                    -cfg.imagined_reward_clip,
+                    cfg.imagined_reward_clip,
                 )
             return next_z, (z, reward_mean, dist.entropy())
 

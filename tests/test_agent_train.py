@@ -676,3 +676,31 @@ def test_policy_lr_scale():
     assert tree_diff(state.params["policy"], new_state.params["policy"]) == 0
     assert tree_diff(state.params["score"], new_state.params["score"]) > 0
     assert tree_diff(state.params["value"], new_state.params["value"]) > 0
+
+
+def test_imagined_reward_clip():
+    """imagined_reward_clip bounds every imagined reward: with a clip of c,
+    the reported imagined reward mean lies in [-c, c], and a tiny clip
+    dominates any pessimism already applied."""
+    cfg, tcfg = tiny_config()
+    cfg.imagined_value_targets = True
+    cfg.imagine_deterministic = True
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    latent = jax.random.normal(jax.random.PRNGKey(2), (3, 8)) * 50.0  # OOD
+
+    def reward_mean_at(clip):
+        agent.core.config.imagined_reward_clip = clip
+        _, _, info = agent.core.imagined_lambda_objective(
+            state.params, latent, jax.random.PRNGKey(3), jnp.asarray(1.0),
+            horizon=2, num_trajectories=2,
+        )
+        return float(info["imagined/reward_mean"])
+
+    try:
+        r_tiny = reward_mean_at(0.01)
+        r_free = reward_mean_at(0.0)
+    finally:
+        agent.core.config.imagined_reward_clip = 0.0
+    assert abs(r_tiny) <= 0.01 + 1e-6
+    assert abs(r_free) > abs(r_tiny)  # unclipped head output is larger
