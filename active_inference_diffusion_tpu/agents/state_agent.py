@@ -583,8 +583,14 @@ class DiffusionStateAgent(BaseAgent):
                     if cfg.entropy_target is not None
                     else -float(self.action_dim)
                 )
-                new_log_alpha = state.log_alpha - cfg.alpha_lr * (
-                    efe_info["imagined/entropy_mean"] - ent_target
+                new_log_alpha = jnp.clip(
+                    state.log_alpha
+                    - cfg.alpha_lr * (efe_info["imagined/entropy_mean"] - ent_target),
+                    # alpha in [1e-6, 10]: the update is a fixed-rate random
+                    # walk while entropy sits off-target, so an unbounded
+                    # log_alpha would eventually overflow on long runs.
+                    -13.8155,
+                    2.3026,
                 )
             else:
                 new_log_alpha = state.log_alpha
