@@ -361,8 +361,13 @@ class DiffusionStateAgent(BaseAgent):
             # Dynamics regression is on fixed belief samples in both modes.
             lat_sg = jax.lax.stop_gradient(lat_l)
             next_lat_sg = jax.lax.stop_gradient(next_lat_l)
-            pred_next, _ = core.predict_next_latent(p["dynamics"], lat_sg, actions)
-            dynamics_loss = jnp.mean((pred_next - next_lat_sg) ** 2)
+            # All ensemble members fit the same replay transitions (member
+            # diversity comes from independent inits, MBPO-style); K = 1
+            # reduces to the reference's single-net MSE.
+            pred_members = core.predict_next_latent_members(
+                p["dynamics"], lat_sg, actions
+            )
+            dynamics_loss = jnp.mean((pred_members - next_lat_sg[None]) ** 2)
             model_loss = core.assemble_model_loss(terms, dynamics_loss)
 
             total = score_loss + extra_loss + model_loss

@@ -228,6 +228,18 @@ class ActiveInferenceConfig:
     # counters model-error exploitation (MOPO-style, arXiv:2005.13239;
     # observed: imagined returns 11 -> 278 while real eval fell).
     imagined_reward_pessimism: float = 0.0
+    # Dynamics ensemble size (1 = the reference's single net). With K > 1
+    # the "dynamics" param group holds K independently-initialized residual
+    # MLPs (stacked pytree, vmapped apply); imagination samples a random
+    # member per sample per step (TS1, MBPO arXiv:1906.08253), replay-side
+    # training fits all members, and everything else (epistemic probes,
+    # contrastive prediction) uses the ensemble mean.
+    num_dynamics_ensemble: int = 1
+    # Disagreement pessimism: subtract w * mean_dim(std over members of the
+    # predicted next latent) from the imagined reward. Ensemble spread is
+    # the canonical model-uncertainty signal where a single net's NLL std
+    # extrapolates confidently (MOPO arXiv:2005.13239).
+    ensemble_pessimism: float = 0.0
     # Hard clip on imagined rewards, in normalized-reward units (0 = off).
     # Replay rewards are normalized to ~N(0,1) before the reward head
     # trains, so any imagined reward beyond a few sigma is necessarily

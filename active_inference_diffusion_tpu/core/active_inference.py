@@ -202,7 +202,15 @@ class DiffusionActiveInference:
         diffusion = dproc.init_diffusion_params(self.latent_dim)
         policy = self.policy_network.init(keys[1], dummy_z)["params"]
         value = self.value_network.init(keys[2], dummy_z, dummy_t)["params"]
-        dynamics = self.latent_dynamics.init(keys[3], dummy_z, dummy_a)["params"]
+        if self.config.num_dynamics_ensemble > 1:
+            # K independently-initialized members, stacked on a leading axis
+            # (one pytree, vmapped apply; see predict_next_latent_members).
+            dyn_keys = jax.random.split(keys[3], self.config.num_dynamics_ensemble)
+            dynamics = jax.vmap(
+                lambda k: self.latent_dynamics.init(k, dummy_z, dummy_a)["params"]
+            )(dyn_keys)
+        else:
+            dynamics = self.latent_dynamics.init(keys[3], dummy_z, dummy_a)["params"]
         decoder = self.observation_decoder.init(keys[4], dummy_z, train=False)["params"]
         reward = self.reward_predictor.init(keys[5], dummy_z)["params"]
 
@@ -262,15 +270,88 @@ class DiffusionActiveInference:
     def apply_value(self, value_params, z: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         return self.value_network.apply({"params": value_params}, z, t)[..., 0]
 
+    def predict_next_latent_members(
+        self, dynamics_params, latent: jnp.ndarray, action: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(K, B, D) next-latent means over all ensemble members (K = 1
+        returns the single net's prediction with a leading axis)."""
+        if self.config.num_dynamics_ensemble > 1:
+            return jax.vmap(
+                lambda p: self.latent_dynamics.apply({"params": p}, latent, action)
+            )(dynamics_params)
+        return self.latent_dynamics.apply(
+            {"params": dynamics_params}, latent, action
+        )[None]
+
     def predict_next_latent(
         self, dynamics_params, latent: jnp.ndarray, action: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Residual dynamics with fixed logvar (reference :453-464; the
         reference hardcodes log(0.1) — ``cfg.dynamics_logvar`` makes the
-        noise scale a knob, since it is an arbitrary constant, not learned)."""
-        next_mean = self.latent_dynamics.apply({"params": dynamics_params}, latent, action)
+        noise scale a knob, since it is an arbitrary constant, not learned).
+        With an ensemble this is the member MEAN (used by the epistemic
+        probes and contrastive prediction; imagination samples members via
+        ``imagine_next`` instead)."""
+        if self.config.num_dynamics_ensemble > 1:
+            next_mean = jnp.mean(
+                self.predict_next_latent_members(dynamics_params, latent, action),
+                axis=0,
+            )
+        else:
+            next_mean = self.latent_dynamics.apply(
+                {"params": dynamics_params}, latent, action
+            )
         next_logvar = jnp.full_like(next_mean, self.config.dynamics_logvar)
         return next_mean, next_logvar
+
+    def imagine_next(
+        self,
+        dynamics_params,
+        latent: jnp.ndarray,
+        action: jnp.ndarray,
+        key: jax.Array,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One imagination step: next latent plus per-sample model
+        disagreement.
+
+        Ensemble (K > 1): a random member per SAMPLE per step (TS1-style
+        trajectory sampling, MBPO arXiv:1906.08253) predicts the mean;
+        disagreement is mean over dims of the member std. Single net:
+        the plain prediction, disagreement 0. The fixed-variance noise
+        (``imagine_deterministic`` / ``dynamics_logvar``) is applied by the
+        caller, which owns the noise key."""
+        member_key = jax.random.fold_in(key, 1)
+        means = self.predict_next_latent_members(dynamics_params, latent, action)
+        k = means.shape[0]
+        if k > 1:
+            idx = jax.random.randint(member_key, (latent.shape[0],), 0, k)
+            next_mean = means[idx, jnp.arange(latent.shape[0])]
+            disagreement = jnp.mean(jnp.std(means, axis=0), axis=-1)
+        else:
+            next_mean = means[0]
+            disagreement = jnp.zeros((latent.shape[0],), latent.dtype)
+        next_logvar = jnp.full_like(next_mean, self.config.dynamics_logvar)
+        return next_mean, next_logvar, disagreement
+
+    def _guard_imagined_reward(
+        self,
+        reward_mean: jnp.ndarray,
+        reward_std: jnp.ndarray,
+        disagreement: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Apply the configured imagination guards to a predicted reward:
+        NLL-sigma pessimism, ensemble-disagreement pessimism, hard clip
+        (in that order; the clip bounds whatever hallucination survives)."""
+        cfg = self.config
+        if cfg.imagined_reward_pessimism > 0.0:
+            reward_mean = reward_mean - cfg.imagined_reward_pessimism * reward_std
+        if cfg.ensemble_pessimism > 0.0:
+            reward_mean = reward_mean - cfg.ensemble_pessimism * disagreement
+        if cfg.imagined_reward_clip > 0.0:
+            reward_mean = jnp.clip(
+                reward_mean, -cfg.imagined_reward_clip, cfg.imagined_reward_clip
+            )
+        return reward_mean
 
     def predict_reward(self, reward_params, latent: jnp.ndarray):
         return self.reward_predictor.apply({"params": reward_params}, latent)
@@ -535,8 +616,8 @@ class DiffusionActiveInference:
             if first_action_tiled is not None:
                 action = jnp.where(t_idx == 0, first_action_tiled, action)
 
-            next_mean, next_logvar = self.predict_next_latent(
-                params["dynamics"], z, action
+            next_mean, next_logvar, disagreement = self.imagine_next(
+                params["dynamics"], z, action, dyn_key
             )
             if cfg.imagine_deterministic:
                 next_z = next_mean
@@ -548,16 +629,9 @@ class DiffusionActiveInference:
             # Same imagination guards as imagined_lambda_objective: the EFE
             # rollout consumes the same learned reward head on the same
             # model-rolled latents.
-            if cfg.imagined_reward_pessimism > 0.0:
-                reward_mean = (
-                    reward_mean - cfg.imagined_reward_pessimism * reward_std
-                )
-            if cfg.imagined_reward_clip > 0.0:
-                reward_mean = jnp.clip(
-                    reward_mean,
-                    -cfg.imagined_reward_clip,
-                    cfg.imagined_reward_clip,
-                )
+            reward_mean = self._guard_imagined_reward(
+                reward_mean, reward_std, disagreement
+            )
             pragmatic = prag_w * (reward_mean / preference_temperature)
             t_batch = jnp.full((n,), t_idx, dtype=z.dtype)
             value = self.apply_value(params["value"], next_z, t_batch)
@@ -685,8 +759,8 @@ class DiffusionActiveInference:
             pol_key, dyn_key = jax.random.split(step_key)
             dist = self.apply_policy(params["policy"], z)
             action, _ = sample_action(dist, pol_key, squash=self.policy_squash)
-            next_mean, next_logvar = self.predict_next_latent(
-                params["dynamics"], z, action
+            next_mean, next_logvar, disagreement = self.imagine_next(
+                params["dynamics"], z, action, dyn_key
             )
             if cfg.imagine_deterministic:
                 next_z = next_mean
@@ -694,16 +768,9 @@ class DiffusionActiveInference:
                 eps = jax.random.normal(dyn_key, next_mean.shape, next_mean.dtype)
                 next_z = next_mean + eps * jnp.exp(0.5 * next_logvar)
             reward_mean, reward_std = self.predict_reward(params["reward"], next_z)
-            if cfg.imagined_reward_pessimism > 0.0:
-                reward_mean = (
-                    reward_mean - cfg.imagined_reward_pessimism * reward_std
-                )
-            if cfg.imagined_reward_clip > 0.0:
-                reward_mean = jnp.clip(
-                    reward_mean,
-                    -cfg.imagined_reward_clip,
-                    cfg.imagined_reward_clip,
-                )
+            reward_mean = self._guard_imagined_reward(
+                reward_mean, reward_std, disagreement
+            )
             return next_z, (z, reward_mean, dist.entropy())
 
         t_indices = jnp.arange(horizon, dtype=latent.dtype)

@@ -98,8 +98,16 @@ def resolve_checkpoint_path(path_or_dir: str) -> Path:
 
 
 def _same_structure(saved, template) -> bool:
-    return jax.tree_util.tree_structure(saved) == jax.tree_util.tree_structure(
-        template
+    """True when the pytrees match in structure AND leaf shapes — a leaf
+    whose shape changed (e.g. the dynamics group after resizing
+    num_dynamics_ensemble) must be re-initialized, not restored."""
+    if jax.tree_util.tree_structure(saved) != jax.tree_util.tree_structure(template):
+        return False
+    return all(
+        getattr(s, "shape", None) == getattr(t, "shape", None)
+        for s, t in zip(
+            jax.tree_util.tree_leaves(saved), jax.tree_util.tree_leaves(template)
+        )
     )
 
 

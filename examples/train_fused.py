@@ -70,6 +70,10 @@ def main():
                              "(default -action_dim)")
     parser.add_argument("--reward-pessimism", type=float, default=0.0,
                         help="imagined reward penalty w * predicted std")
+    parser.add_argument("--dynamics-ensemble", type=int, default=1,
+                        help="dynamics ensemble size (TS1 member sampling)")
+    parser.add_argument("--ensemble-pessimism", type=float, default=0.0,
+                        help="imagined reward penalty w * member disagreement")
     args = parser.parse_args()
 
     import jax
@@ -120,6 +124,8 @@ def main():
         auto_entropy=args.auto_entropy,
         entropy_target=args.entropy_target,
         imagined_reward_pessimism=args.reward_pessimism,
+        num_dynamics_ensemble=args.dynamics_ensemble,
+        ensemble_pessimism=args.ensemble_pessimism,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
     training_config = TrainingConfig(buffer_size=args.buffer_size)

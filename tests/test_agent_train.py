@@ -704,3 +704,97 @@ def test_imagined_reward_clip():
         agent.core.config.imagined_reward_clip = 0.0
     assert abs(r_tiny) <= 0.01 + 1e-6
     assert abs(r_free) > abs(r_tiny)  # unclipped head output is larger
+
+
+def test_dynamics_ensemble():
+    """K=3 ensemble: stacked dynamics params, member-sampled imagination
+    with positive disagreement, ensemble-mean predict_next_latent, all
+    members trained by the replay MSE, disagreement pessimism lowers the
+    imagined reward."""
+    cfg, tcfg = tiny_config()
+    cfg.num_dynamics_ensemble = 3
+    cfg.imagined_value_targets = True
+    cfg.imagine_deterministic = True
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    core = agent.core
+
+    # stacked params: every dynamics leaf has leading dim 3
+    for leaf in jax.tree_util.tree_leaves(state.params["dynamics"]):
+        assert leaf.shape[0] == 3
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    a = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    members = core.predict_next_latent_members(state.params["dynamics"], z, a)
+    assert members.shape == (3, 4, 8)
+    mean, logvar = core.predict_next_latent(state.params["dynamics"], z, a)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(jnp.mean(members, axis=0)), rtol=1e-5
+    )
+
+    nm, _, dis = core.imagine_next(state.params["dynamics"], z, a, jax.random.PRNGKey(3))
+    assert nm.shape == (4, 8) and dis.shape == (4,)
+    assert (np.asarray(dis) > 0).all()  # independent inits disagree
+    # each sampled row equals SOME member's row
+    m = np.asarray(members)
+    for b in range(4):
+        assert min(np.abs(m[k, b] - np.asarray(nm)[b]).max() for k in range(3)) < 1e-6
+
+    # train step: runs, finite, and every member moves
+    batch = make_batch(jax.random.PRNGKey(4))
+    new_state, metrics = agent.train_step(state, batch)
+    assert np.isfinite(float(metrics["dynamics_loss"]))
+    old = jax.tree_util.tree_leaves(state.params["dynamics"])[0]
+    new = jax.tree_util.tree_leaves(new_state.params["dynamics"])[0]
+    per_member_delta = np.abs(np.asarray(new) - np.asarray(old)).reshape(3, -1).sum(1)
+    assert (per_member_delta > 0).all()
+
+    # disagreement pessimism lowers the imagined reward mean
+    latent = jax.random.normal(jax.random.PRNGKey(5), (3, 8))
+
+    def reward_mean_at(w):
+        core.config.ensemble_pessimism = w
+        _, _, info = core.imagined_lambda_objective(
+            state.params, latent, jax.random.PRNGKey(6), jnp.asarray(1.0),
+            horizon=2, num_trajectories=2,
+        )
+        return float(info["imagined/reward_mean"])
+
+    try:
+        r0 = reward_mean_at(0.0)
+        r1 = reward_mean_at(2.0)
+    finally:
+        core.config.ensemble_pessimism = 0.0
+    assert r1 < r0
+
+
+def test_ensemble_resize_checkpoint_migration(tmp_path):
+    """A K=1 checkpoint restored into a K=3 template reinitializes the
+    dynamics group (leaf shapes changed) while keeping the other groups."""
+    import orbax.checkpoint as ocp
+
+    from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
+
+    cfg1, tcfg1 = tiny_config()
+    agent1 = DiffusionStateAgent(5, 2, cfg1, tcfg1)
+    state1 = agent1.init_train_state(jax.random.PRNGKey(0))
+    path = tmp_path / "checkpoint_5"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", state1, force=True)
+    (path / "meta.json").write_text('{"total_steps": 5}')
+
+    cfg3, tcfg3 = tiny_config()
+    cfg3.num_dynamics_ensemble = 3
+    agent3 = DiffusionStateAgent(5, 2, cfg3, tcfg3)
+    template = agent3.init_train_state(jax.random.PRNGKey(1))
+    restored, meta = load_checkpoint(str(path), template)
+    # dynamics reinitialized from the template (shape change)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params["dynamics"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(template.params["dynamics"])[0]),
+    )
+    # policy restored from the save
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params["policy"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state1.params["policy"])[0]),
+    )
