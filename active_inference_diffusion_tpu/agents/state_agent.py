@@ -79,6 +79,7 @@ class DiffusionStateAgent(BaseAgent):
         exploration_noise: jnp.ndarray,
         deterministic: bool = False,
         num_steps: Optional[int] = None,
+        epistemic_running_mean: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         feat_key, act_key, noise_key = jax.random.split(key, 3)
         # Featurization hook: identity for states, conv encoder for pixels
@@ -87,13 +88,16 @@ class DiffusionStateAgent(BaseAgent):
         if self.config.plan_candidates > 0:
             # EFE-based selection over candidate actions (active-inference
             # decision rule; see core.act_planned). Deterministic eval uses
-            # argmin-EFE regardless of plan_temperature.
+            # argmin-EFE regardless of plan_temperature. The trained MINE
+            # EMA (AgentTrainState.epistemic_running_mean) seeds the
+            # epistemic term's logsumexp baseline.
             action, _ = self.core.act_planned(
                 params, act_key, features,
                 plan_temperature=(
                     0.0 if deterministic else self.config.plan_temperature
                 ),
                 num_steps=num_steps,
+                epistemic_running_mean=epistemic_running_mean,
             )
         else:
             action, _ = self.core.act(
@@ -228,6 +232,7 @@ class DiffusionStateAgent(BaseAgent):
                 jnp.asarray(self.exploration_noise, jnp.float32),
                 deterministic=deterministic,
                 num_steps=num_steps,
+                epistemic_running_mean=state.epistemic_running_mean,
             )
         )
 

@@ -182,14 +182,19 @@ def main():
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
     steps_collected = 0
     # Carry the best-eval bar across resumes so a worse resumed run cannot
-    # clobber the saved best checkpoint.
+    # clobber the saved best checkpoint. Only on --resume: a FRESH run in a
+    # reused checkpoint_dir must not inherit a stale bar from an unrelated
+    # previous run (it would then never write its own best).
     best_eval_reward = float("-inf")
-    _best_meta = Path(training_config.checkpoint_dir) / "best" / "meta.json"
-    if _best_meta.exists():
-        try:
-            best_eval_reward = float(json.loads(_best_meta.read_text())["eval_reward"])
-        except (KeyError, ValueError, json.JSONDecodeError):
-            pass
+    if args.resume:
+        _best_meta = Path(training_config.checkpoint_dir) / "best" / "meta.json"
+        if _best_meta.exists():
+            try:
+                best_eval_reward = float(
+                    json.loads(_best_meta.read_text())["eval_reward"]
+                )
+            except (KeyError, ValueError, json.JSONDecodeError):
+                pass
 
     # --- replay + collector -------------------------------------------
     from active_inference_diffusion_tpu.data.replay import (

@@ -45,8 +45,6 @@ from .time_sampler import importance_sample_time
 
 Params = Dict[str, Any]
 
-LOG_DYNAMICS_VAR = float(np.log(0.1))  # fixed next-latent logvar (reference :463)
-
 
 class BeliefInfo(NamedTuple):
     latent: jnp.ndarray  # (B, D)
@@ -85,6 +83,12 @@ class DiffusionActiveInference:
                 "posterior_beliefs and ground_beliefs are mutually exclusive "
                 "belief sources for the training latents (see DEVIATIONS.md); "
                 "set exactly one."
+            )
+        if config.auto_entropy and not config.imagined_value_targets:
+            raise ValueError(
+                "auto_entropy tunes the imagined actor's entropy coefficient "
+                "and is silently inert without imagined_value_targets; enable "
+                "both (the EFE policy path uses consistency_weight instead)."
             )
 
         self.schedule: DiffusionSchedule = schedule_from_config(config.diffusion)

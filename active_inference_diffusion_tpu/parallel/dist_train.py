@@ -56,9 +56,10 @@ def make_dp_train_step(
             "target_value": spec_like_params(state.target_value),
         }
         kwargs = {
-            f.name: special.get(
-                f.name,
-                jax.tree_util.tree_map(lambda _: rep, getattr(state, f.name)),
+            f.name: (
+                special[f.name]
+                if f.name in special
+                else jax.tree_util.tree_map(lambda _: rep, getattr(state, f.name))
             )
             for f in dataclasses.fields(state)
         }

@@ -189,7 +189,7 @@ def _lenient_restore(ckptr, state_path, template_state: AgentTrainState):
             "load_checkpoint: structure drift — reinitialized from template: "
             + ", ".join(dropped)
         )
-    return state
+    return state, dropped
 
 
 def load_checkpoint(
@@ -210,8 +210,16 @@ def load_checkpoint(
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_state)
         try:
             state = ckptr.restore(path / "state", abstract)
-        except Exception:
-            state = _lenient_restore(ckptr, path / "state", template_state)
+        except Exception as strict_err:
+            state, dropped = _lenient_restore(ckptr, path / "state", template_state)
+            # Optimizer states ALWAYS drop under lenient restore (optax
+            # namedtuples restore as raw dicts), so they don't indicate
+            # drift. If nothing ELSE was dropped the checkpoint structure
+            # matches the template — the strict failure was corruption or
+            # an IO error, not format drift, and hiding it behind a
+            # silently-degraded migration would be worse than failing.
+            if not any(not d.startswith("opt_states") for d in dropped):
+                raise strict_err
         replay_state = None
         if replay_template is not None and (path / "replay").exists():
             replay_abstract = jax.tree_util.tree_map(
