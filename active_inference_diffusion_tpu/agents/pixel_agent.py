@@ -38,7 +38,7 @@ class DiffusionPixelAgent(DiffusionStateAgent):
         "score": ["score", "diffusion", "encoder", "feature_decoder"],
         "policy": ["policy"],
         "value": ["value"],
-        "model": ["dynamics", "decoder", "reward", "posterior"],
+        "model": ["dynamics", "decoder", "reward", "continuation", "posterior"],
         "epistemic": ["epistemic"],
     }
 

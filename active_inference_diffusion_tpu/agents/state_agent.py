@@ -42,7 +42,7 @@ class DiffusionStateAgent(BaseAgent):
         # "posterior" = amortized q(z|o) (extension; trains on the same
         # reconstruction/reward/KL losses as this group, zero-grad unless
         # cfg.posterior_beliefs routes latents through it)
-        "model": ["dynamics", "decoder", "reward", "posterior"],
+        "model": ["dynamics", "decoder", "reward", "continuation", "posterior"],
         "epistemic": ["epistemic"],
     }
 
@@ -373,14 +373,29 @@ class DiffusionStateAgent(BaseAgent):
                 p["dynamics"], lat_sg, actions
             )
             dynamics_loss = jnp.mean((pred_members - next_lat_sg[None]) ** 2)
-            model_loss = core.assemble_model_loss(terms, dynamics_loss)
+            # Continuation head c(z_next) vs (1 - done) — Dreamer-style
+            # discount prediction (always trained; used in imagination only
+            # with cfg.predict_continuation).
+            cont_logit = core.predict_continuation(p["continuation"], next_lat_sg)
+            continuation_loss = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(
+                    cont_logit, 1.0 - batch["dones"].astype(cont_logit.dtype)
+                )
+            )
+            model_loss = (
+                core.assemble_model_loss(terms, dynamics_loss) + continuation_loss
+            )
 
             total = score_loss + extra_loss + model_loss
-            aux = (terms, dynamics_loss, extra_info, lat_sg, next_lat_sg)
+            aux = (terms, dynamics_loss, continuation_loss, extra_info, lat_sg, next_lat_sg)
             return total, aux
 
         (
-            (fused_loss, (terms, dynamics_loss, extra_info, latents, next_latents)),
+            (
+                fused_loss,
+                (terms, dynamics_loss, continuation_loss, extra_info,
+                 latents, next_latents),
+            ),
             fused_grads,
         ) = jax.value_and_grad(fused_loss_fn, has_aux=True)(
             subset(params, fused_groups)
@@ -415,6 +430,7 @@ class DiffusionStateAgent(BaseAgent):
             mean_time=terms["mean_time"],
             loss_weight_mean=terms["loss_weight_mean"],
             dynamics_loss=dynamics_loss,
+            continuation_loss=continuation_loss,
             **extra_info,
         )
 

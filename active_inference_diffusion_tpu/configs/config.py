@@ -228,6 +228,15 @@ class ActiveInferenceConfig:
     # counters model-error exploitation (MOPO-style, arXiv:2005.13239;
     # observed: imagined returns 11 -> 278 while real eval fell).
     imagined_reward_pessimism: float = 0.0
+    # Dreamer-style continuation prediction: a small head c(z), trained by
+    # BCE on replay dones, weights the imagined lambda-return bootstrap by
+    # gamma * c(z_t). Without it imagination assumes infinite episodes —
+    # correct for HalfCheetah (no termination), badly optimistic for
+    # Hopper/Walker2d where falling terminates the episode (measured: both
+    # plateau near random under the HalfCheetah preset while HalfCheetah
+    # reaches +4486). The head always exists and trains; this flag gates
+    # its use in imagination. Imagined-lambda mode only.
+    predict_continuation: bool = False
     # Dynamics ensemble size (1 = the reference's single net). With K > 1
     # the "dynamics" param group holds K independently-initialized residual
     # MLPs (stacked pytree, vmapped apply); imagination samples a random

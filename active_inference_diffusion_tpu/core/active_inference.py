@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.config import ActiveInferenceConfig
-from ..models.decoders import FeatureDecoder, RewardPredictor, StateDecoder, reward_log_prob
+from ..models.decoders import (
+    ContinuationPredictor,
+    FeatureDecoder,
+    RewardPredictor,
+    StateDecoder,
+    reward_log_prob,
+)
 from ..models.dynamics import LatentDynamicsModel
 from ..models.encoders import ConvDecoder, LatentPosteriorEncoder
 from ..models.policy import DiffusionConditionedPolicy, PolicyDist, sample_action
@@ -148,6 +154,9 @@ class DiffusionActiveInference:
             )
             self.feature_decoder = None
         self.reward_predictor = RewardPredictor(hidden_dim=config.hidden_dim)
+        self.continuation_predictor = ContinuationPredictor(
+            hidden_dim=config.hidden_dim
+        )
         # Amortized posterior q(z|o) (extension, no reference counterpart):
         # grounds the score-matching target when cfg.posterior_beliefs is set
         # (see DEVIATIONS.md). Input is the same conditioning the score net
@@ -217,6 +226,9 @@ class DiffusionActiveInference:
             dynamics = self.latent_dynamics.init(keys[3], dummy_z, dummy_a)["params"]
         decoder = self.observation_decoder.init(keys[4], dummy_z, train=False)["params"]
         reward = self.reward_predictor.init(keys[5], dummy_z)["params"]
+        continuation = self.continuation_predictor.init(
+            jax.random.fold_in(keys[5], 1), dummy_z
+        )["params"]
 
         # Epistemic estimator init needs probe shapes
         obs_event_shape = (
@@ -239,6 +251,7 @@ class DiffusionActiveInference:
             "dynamics": dynamics,
             "decoder": decoder,
             "reward": reward,
+            "continuation": continuation,
             "posterior": posterior,
             "epistemic": epistemic,  # full variables dict ({'params': ...})
         }
@@ -359,6 +372,12 @@ class DiffusionActiveInference:
 
     def predict_reward(self, reward_params, latent: jnp.ndarray):
         return self.reward_predictor.apply({"params": reward_params}, latent)
+
+    def predict_continuation(self, continuation_params, latent: jnp.ndarray):
+        """Continuation logit c(z); sigmoid gives P(episode continues)."""
+        return self.continuation_predictor.apply(
+            {"params": continuation_params}, latent
+        )
 
     def apply_posterior(
         self, posterior_params, observation: jnp.ndarray
@@ -775,11 +794,21 @@ class DiffusionActiveInference:
             reward_mean = self._guard_imagined_reward(
                 reward_mean, reward_std, disagreement
             )
-            return next_z, (z, reward_mean, dist.entropy())
+            if cfg.predict_continuation:
+                # P(episode continues) weights the discount (Dreamer-style;
+                # without it imagination assumes infinite episodes, which
+                # overestimates value wherever termination exists).
+                cont = jax.nn.sigmoid(
+                    self.predict_continuation(params["continuation"], next_z)
+                )
+                cont = jax.lax.stop_gradient(cont)
+            else:
+                cont = jnp.ones_like(reward_mean)
+            return next_z, (z, reward_mean, dist.entropy(), cont)
 
         t_indices = jnp.arange(horizon, dtype=latent.dtype)
         step_keys = jax.random.split(key, horizon)
-        z_last, (zs, rewards, entropies) = jax.lax.scan(
+        z_last, (zs, rewards, entropies, conts) = jax.lax.scan(
             step, z0, (t_indices, step_keys)
         )
         # values bootstrapping the imagined sequence: V(z_{t+1}, t+1)
@@ -795,13 +824,16 @@ class DiffusionActiveInference:
         gamma, lam = cfg.discount_factor, cfg.lambda_return
 
         def backward(carry, inputs):
-            r, v_next = inputs
-            ret = r + gamma * ((1.0 - lam) * v_next + lam * carry)
+            r, v_next, c = inputs
+            # gamma * c: the continuation head zeroes the bootstrap past
+            # predicted termination (c == 1 identically when the feature is
+            # off, reducing to the plain lambda-return recursion).
+            ret = r + gamma * c * ((1.0 - lam) * v_next + lam * carry)
             return ret, ret
 
         last = values_next[-1]
         _, returns_rev = jax.lax.scan(
-            backward, last, (rewards[::-1], values_next[::-1])
+            backward, last, (rewards[::-1], values_next[::-1], conts[::-1])
         )
         lambda_returns = returns_rev[::-1]  # (H, N)
 
@@ -840,6 +872,7 @@ class DiffusionActiveInference:
             "imagined/return_range": return_range,
             "imagined/return_norm": norm,
             "imagined/entropy_scale": ent_scale,
+            "imagined/continuation_mean": jnp.mean(conts),
         }
         return actor_loss, (sg(zs), sg(imagined_t), sg(lambda_returns)), info
 

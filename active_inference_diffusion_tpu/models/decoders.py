@@ -76,6 +76,22 @@ class RewardPredictor(nn.Module):
         return mean, std
 
 
+class ContinuationPredictor(nn.Module):
+    """Latent -> continuation logit c(z) (Dreamer-style discount head; no
+    reference counterpart — the reference's imagination ignores episode
+    termination entirely, core/active_inference.py:314-396). Trained by BCE
+    on replay dones; sigmoid(logit) multiplies the imagined discount."""
+
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, latent: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.hidden_dim, name="fc1")(latent)
+        h = nn.LayerNorm(name="ln")(h)
+        h = nn.relu(h)
+        return nn.Dense(1, name="out")(h)[:, 0]
+
+
 def reward_log_prob(mean: jnp.ndarray, std: jnp.ndarray, rewards: jnp.ndarray) -> jnp.ndarray:
     """Gaussian log-likelihood of rewards under the predictor
     (reference: core/active_inference.py:617-618)."""

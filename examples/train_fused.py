@@ -74,6 +74,8 @@ def main():
                         help="dynamics ensemble size (TS1 member sampling)")
     parser.add_argument("--ensemble-pessimism", type=float, default=0.0,
                         help="imagined reward penalty w * member disagreement")
+    parser.add_argument("--predict-continuation", action="store_true",
+                        help="continuation head gates the imagined bootstrap")
     args = parser.parse_args()
 
     import jax
@@ -126,6 +128,7 @@ def main():
         imagined_reward_pessimism=args.reward_pessimism,
         num_dynamics_ensemble=args.dynamics_ensemble,
         ensemble_pessimism=args.ensemble_pessimism,
+        predict_continuation=args.predict_continuation,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
     training_config = TrainingConfig(buffer_size=args.buffer_size)
