@@ -69,6 +69,7 @@ class DiffusionPixelAgent(DiffusionStateAgent):
             frame_stack=self.frame_stack,
             num_layers=4,
             num_filters=32,
+            use_spectral_norm=config.use_spectral_norm,
         )
 
         # BaseAgent.__init__ builds the core (with pixel decoders) and

@@ -170,6 +170,9 @@ class DiffusionStateAgent(BaseAgent):
                 deterministic=self.config.deterministic_beliefs,
             )
             latent = belief.latent
+        if self.config.belief_dynamics.use_belief_dynamics:
+            fp_key, act_key = jax.random.split(act_key)
+            latent = self.core.refine_beliefs(params, fp_key, latent, features)
         dist = self.core.apply_policy(params["policy"], latent)
         from ..models.policy import sample_action as _sample
 

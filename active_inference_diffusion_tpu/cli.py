@@ -362,6 +362,15 @@ def main():
                         config=config, training_config=training_config,
                         name="best", keep_latest_alias=False,
                         extra_meta={"eval_reward": float(best_eval_reward)},
+                        # Include the replay buffer so --resume .../best does
+                        # not restart with an empty buffer (the documented
+                        # resume degradation, utils/checkpoints.py docstring);
+                        # worth the extra write cost at eval frequency.
+                        replay_state=(
+                            replay.state
+                            if isinstance(replay, DeviceReplayBuffer)
+                            else None
+                        ),
                     )
                     print(f"  new best eval -> {training_config.checkpoint_dir}/best")
 

@@ -31,9 +31,24 @@ class DiffusionConfig:
 
 @dataclass
 class BeliefDynamicsConfig:
-    """Fokker-Planck belief dynamics configuration (reference: configs/config.py:24-35)."""
+    """Fokker-Planck belief dynamics configuration (reference: configs/config.py:24-35).
 
-    use_belief_dynamics: bool = True
+    The reference declares ``use_belief_dynamics: True`` but never reads it
+    anywhere (its BeliefDynamics is constructed by no agent and its update()
+    is uncallable, reference core/belief_dynamics.py:170 vs :344). Here the
+    flag is REAL: when set, acting refines each belief latent with
+    ``refine_steps`` Fokker-Planck mean-drift steps on -grad F of the decoder
+    likelihood (core/belief_dynamics.fp_refine_mean, wired in
+    DiffusionActiveInference.act/act_planned/act_warm). Default False — the
+    reference's True was inert, and defaulting an extra act-time refinement
+    on would silently change every tuned preset (see DEVIATIONS.md).
+    """
+
+    use_belief_dynamics: bool = False
+    # Number of FP mean-refinement steps applied to the belief latent at act
+    # time when use_belief_dynamics is set (extension field; the reference has
+    # no step-count knob because nothing consumed its dynamics).
+    refine_steps: int = 1
     belief_dim: int = 50
     diffusion_coefficient: float = 0.1
     learning_rate: float = 0.1
@@ -62,12 +77,22 @@ class SemanticsConfig:
       never trained (agents/state_agent.py:225 after :151). corrected trains them.
     - ``deterministic_eval``: the reference evaluates with a stochastic policy
       (utils/training.py:47).
+    - ``epistemic_sign``: the reference ADDS the epistemic (information-gain)
+      term to the minimized EFE (reference core/active_inference.py:383-388),
+      so comparing EFE values would AVOID informative actions. Inert in the
+      reference (the EFE is never used for selection, :501-510) but
+      behavior-affecting in ``act_planned``; corrected uses -1 (info-seeking,
+      the canonical p(a) ∝ exp(-G) rule).
     """
 
     mode: str = "corrected"  # "corrected" | "faithful"
 
     @property
     def pragmatic_sign(self) -> float:
+        return 1.0 if self.mode == "faithful" else -1.0
+
+    @property
+    def epistemic_sign(self) -> float:
         return 1.0 if self.mode == "faithful" else -1.0
 
     @property
@@ -160,6 +185,13 @@ class ActiveInferenceConfig:
     num_layers: int = 3
     score_num_layers: int = 6
     pixel_observation: bool = False
+    # Spectral normalization of the pixel encoder/decoder convs (reference
+    # wraps convs in nn.utils.spectral_norm, encoder/visual_encoders.py:70-71,
+    # default True there). Implemented statelessly (power iteration from a
+    # fixed start vector each forward, models/encoders.spectral_normalize) so
+    # no mutable u/v buffers thread through the params pytree. Default False
+    # (deviation from the reference's default-on; documented in DEVIATIONS.md).
+    use_spectral_norm: bool = False
 
     # Tanh-squash the policy (None -> resolved from semantics mode:
     # corrected=True, faithful=False). The reference's unsquashed head

@@ -44,6 +44,7 @@ from ..models.policy import DiffusionConditionedPolicy, PolicyDist, sample_actio
 from ..models.score_network import LatentScoreNetwork
 from ..models.value import ValueNetwork
 from . import diffusion as dproc
+from .belief_dynamics import FPConfig, fp_refine_mean
 from .epistemic import FunctionSpaceEpistemicEstimator, estimate_epistemic_value
 from .returns import compute_lambda_returns
 from .schedules import DiffusionSchedule, schedule_from_config
@@ -144,6 +145,7 @@ class DiffusionActiveInference:
                 # two sub-pixel 2x upsamples: 84 -> spatial 21 (reference
                 # hardcodes 21 for 84x84, core/active_inference.py:134-140)
                 spatial_size=pixel_shape[1] // 4,
+                use_spectral_norm=config.use_spectral_norm,
             )
             self.feature_decoder = FeatureDecoder(
                 latent_dim=latent_dim, hidden_dim=config.hidden_dim
@@ -681,8 +683,13 @@ class DiffusionActiveInference:
             else:
                 epistemic = jnp.zeros((n,), dtype=z.dtype)
 
+            # Epistemic sign: corrected mode SUBTRACTS information gain from
+            # the minimized EFE (info-seeking, p(a) ∝ exp(-G)); faithful mode
+            # keeps the reference's additive sign (inert there — the EFE never
+            # drives selection, reference :501-510 — but behavior-affecting in
+            # act_planned, which compares EFE values). See SemanticsConfig.
             step_efe = (
-                cfg.epistemic_weight * epistemic
+                cfg.semantics.epistemic_sign * cfg.epistemic_weight * epistemic
                 + prag_sign * (prag_w if double_w else 1.0) * pragmatic
                 + cfg.consistency_weight * consistency
             )
@@ -1044,6 +1051,54 @@ class DiffusionActiveInference:
         )
 
     # ------------------------------------------------------------------
+    # Fokker-Planck belief refinement (C-4a wired behind
+    # BeliefDynamicsConfig.use_belief_dynamics)
+    # ------------------------------------------------------------------
+
+    def refine_beliefs(
+        self,
+        params: Params,
+        key: jax.Array,
+        latent: jnp.ndarray,
+        observation: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Refine belief latents with Fokker-Planck mean-drift steps on
+        -grad F of the decoder likelihood.
+
+        F(z) = ||decode(z) - o||^2 / (2 noise_scale^2) + ||z||^2 / 2, the
+        ``observation_model`` form of ``belief_dynamics.total_log_prob``
+        (reference core/belief_dynamics.py:174-210). For pixel agents the
+        comparison runs in encoded-feature space (``observation`` at act time
+        IS the encoded features, and ``decode_to_pixels=False`` selects the
+        feature decoder), so no conv decode happens per refinement step.
+
+        The reference declares ``use_belief_dynamics`` but never consumes it
+        (its BeliefDynamics is constructed nowhere and ``update()`` calls a
+        missing method, reference :170 vs :344). This wiring is the intended
+        behavior: acting = reverse-diffusion belief, then ``refine_steps``
+        FP drift steps toward the observation mode. No-op when the flag is
+        off (callers gate on the config).
+        """
+        bd = self.config.belief_dynamics
+        fp_cfg = FPConfig.from_config(bd)
+        p = jax.lax.stop_gradient(params)
+        obs = jax.lax.stop_gradient(observation)
+        inv_var = 1.0 / (bd.noise_scale**2)
+
+        def free_energy_fn(z: jnp.ndarray) -> jnp.ndarray:
+            decoded = self.decode_observation(
+                p, z, decode_to_pixels=False, train=False
+            )
+            flat = (decoded - obs).reshape(z.shape[0], -1)
+            obs_nll = 0.5 * inv_var * jnp.sum(flat**2, axis=-1)
+            prior = 0.5 * jnp.sum(z**2, axis=-1)
+            return obs_nll + prior
+
+        return fp_refine_mean(
+            latent, key, fp_cfg, free_energy_fn, num_steps=bd.refine_steps
+        )
+
+    # ------------------------------------------------------------------
     # Action selection (reference :478-531)
     # ------------------------------------------------------------------
 
@@ -1093,6 +1148,9 @@ class DiffusionActiveInference:
                 deterministic=self.config.deterministic_beliefs,
             )
         latent = belief.latent
+        if self.config.belief_dynamics.use_belief_dynamics:
+            fp_key, act_key = jax.random.split(act_key)
+            latent = self.refine_beliefs(params, fp_key, latent, observation)
 
         dist = self.apply_policy(params["policy"], latent)
         action, log_prob = sample_action(
@@ -1172,6 +1230,9 @@ class DiffusionActiveInference:
                 deterministic=cfg.deterministic_beliefs,
             )
             latent = belief.latent  # (B, D)
+        if cfg.belief_dynamics.use_belief_dynamics:
+            fp_key, belief_key = jax.random.split(belief_key)
+            latent = self.refine_beliefs(params, fp_key, latent, observation)
         batch = latent.shape[0]
 
         dist = self.apply_policy(params["policy"], latent)

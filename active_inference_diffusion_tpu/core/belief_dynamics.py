@@ -153,6 +153,47 @@ def belief_update(
     return new_state, diag
 
 
+def fp_refine_mean(
+    latent: jnp.ndarray,
+    key: jax.Array,
+    cfg: FPConfig,
+    free_energy_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    num_steps: int = 1,
+) -> jnp.ndarray:
+    """Batched Fokker-Planck mean refinement of belief latents.
+
+    The mean-drift half of ``belief_update`` (reference :118-137: adaptive
+    step on -lr * grad F plus injected diffusion noise), vmapped over a batch
+    of point beliefs and scanned ``num_steps`` times — the act-time wiring of
+    C-4a behind ``BeliefDynamicsConfig.use_belief_dynamics`` (the reference
+    declares that flag but nothing consumes it; see DEVIATIONS.md). The
+    covariance update stays in ``belief_update`` (the standalone API): at act
+    time only the latent point estimate feeds the policy, and the diagonal
+    Hessian would cost D extra decoder passes per step.
+
+    ``free_energy_fn(z_batch) -> (B,) free energy`` — typically the decoder
+    negative log-likelihood plus the standard-normal prior (the
+    ``observation_model`` form of ``total_log_prob``).
+    """
+    lr, dt, diff_coef = cfg.learning_rate, cfg.dt, cfg.diffusion_coefficient
+
+    def one_step(z, step_key):
+        g = jax.grad(lambda zz: jnp.sum(free_energy_fn(zz)))(z)  # (B, D)
+        grad_norm = jnp.sqrt(jnp.sum(g**2, axis=-1, keepdims=True) + 1e-12)
+        adaptive_dt = dt / (1.0 + 0.1 * grad_norm)
+        noise = (
+            math.sqrt(2.0 * diff_coef * dt)
+            * cfg.noise_scale
+            * jax.random.normal(step_key, z.shape, z.dtype)
+        )
+        return z - lr * g * adaptive_dt + noise, None
+
+    refined, _ = jax.lax.scan(
+        one_step, latent, jax.random.split(key, num_steps)
+    )
+    return refined
+
+
 def belief_entropy(state: BeliefState, cfg: FPConfig) -> jnp.ndarray:
     """Gaussian entropy (reference :368-389)."""
     k = state.mean.shape[0]

@@ -137,6 +137,22 @@ class DeviceReplayBuffer:
         return int(self.state.size)
 
 
+def _sample_indices(
+    rng: np.random.Generator, key, size: int, batch_size: int
+) -> np.ndarray:
+    """Uniform sample indices for host buffers, honoring the ``key`` argument
+    with the same key discipline as ``DeviceReplayBuffer`` (same key -> same
+    sample). Falls back to the buffer's own generator when ``key`` is None."""
+    if key is not None:
+        data = np.asarray(
+            jax.random.key_data(key)
+            if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key)
+            else key
+        )
+        rng = np.random.default_rng(data.astype(np.uint64).ravel())
+    return rng.integers(0, max(size, 1), batch_size)
+
+
 class HostReplayBuffer:
     """NumPy ring buffer for capacities beyond HBM (e.g. long pixel runs).
 
@@ -179,8 +195,7 @@ class HostReplayBuffer:
         self.size = int(min(self.size + n, self.capacity))
 
     def sample(self, key, batch_size: int) -> Dict[str, jnp.ndarray]:
-        del key
-        indices = self._rng.integers(0, max(self.size, 1), batch_size)
+        indices = _sample_indices(self._rng, key, self.size, batch_size)
         obs = self.observations[indices]
         next_obs = self.next_observations[indices]
         if obs.dtype == np.uint8:
@@ -259,8 +274,7 @@ class CompressedReplayBuffer:
             self.add(obs[i], actions[i], rewards[i], next_obs[i], dones[i])
 
     def sample(self, key, batch_size: int) -> Dict[str, jnp.ndarray]:
-        del key
-        indices = self._rng.integers(0, max(self.size, 1), batch_size)
+        indices = _sample_indices(self._rng, key, self.size, batch_size)
         obs = np.stack(
             [self._decompress(self.observations[i]) for i in indices]
         ).astype(np.float32) / 255.0

@@ -27,9 +27,15 @@ class EnvState(struct.PyTreeNode):
     physics: jnp.ndarray  # env-specific physical state vector
     obs: jnp.ndarray
     reward: jnp.ndarray  # scalar
-    done: jnp.ndarray  # bool scalar
+    done: jnp.ndarray  # bool scalar: terminated OR truncated (episode over)
     step_count: jnp.ndarray  # int32 scalar
     key: jax.Array
+    # True only for real MDP termination (unhealthy state etc.), False for
+    # pure time-limit truncation — the Gymnasium terminated/truncated split.
+    # Value bootstrapping and the continuation head must use THIS, not
+    # ``done`` (training c(z) on time-limit dones wrongly zeroes the imagined
+    # bootstrap near episode end). Analytic envs never terminate.
+    terminated: jnp.ndarray = None
 
 
 class JaxEnv:
@@ -56,9 +62,13 @@ class JaxEnv:
         merged = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), fresh, next_state
         )
-        # keep the reward/done of the finishing step, and a fresh key
+        # keep the reward/done/terminated of the finishing step, and a fresh
+        # key (the merged tree took the fresh env's fields wherever done)
         return merged.replace(
-            reward=next_state.reward, done=next_state.done, key=carry_key
+            reward=next_state.reward,
+            done=next_state.done,
+            terminated=next_state.terminated,
+            key=carry_key,
         )
 
 
@@ -93,6 +103,7 @@ class Pendulum(JaxEnv):
             done=jnp.zeros((), bool),
             step_count=jnp.zeros((), jnp.int32),
             key=carry_key,
+            terminated=jnp.zeros((), bool),
         )
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
@@ -146,6 +157,7 @@ class PointMass2D(JaxEnv):
             done=jnp.zeros((), bool),
             step_count=jnp.zeros((), jnp.int32),
             key=carry_key,
+            terminated=jnp.zeros((), bool),
         )
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
@@ -194,6 +206,7 @@ class Reacher2Link(JaxEnv):
             done=jnp.zeros((), bool),
             step_count=jnp.zeros((), jnp.int32),
             key=carry_key,
+            terminated=jnp.zeros((), bool),
         )
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
@@ -221,9 +234,21 @@ ENV_REGISTRY = {
 
 
 def make_jax_env(name: str) -> JaxEnv:
-    if name not in ENV_REGISTRY:
-        raise ValueError(f"Unknown JAX env {name}; have {sorted(ENV_REGISTRY)}")
-    return ENV_REGISTRY[name]()
+    if name in ENV_REGISTRY:
+        return ENV_REGISTRY[name]()
+    # MuJoCo tasks route to the MJX adapter (exact Gymnasium -v4 semantics,
+    # envs/mujoco_tasks.py); raises a clear ImportError when mujoco-mjx is
+    # not installed.
+    from .mujoco_tasks import TASK_SPECS
+
+    if name in TASK_SPECS:
+        from .mjx_env import MJXEnv
+
+        return MJXEnv(name)
+    raise ValueError(
+        f"Unknown JAX env {name}; have "
+        f"{sorted(ENV_REGISTRY) + sorted(TASK_SPECS)}"
+    )
 
 
 class Transitions(NamedTuple):
@@ -233,7 +258,12 @@ class Transitions(NamedTuple):
     actions: jnp.ndarray
     rewards: jnp.ndarray
     next_observations: jnp.ndarray
-    dones: jnp.ndarray
+    dones: jnp.ndarray  # terminated | truncated (episode boundaries)
+    # Real MDP termination only (False at pure time limits). This is what
+    # belongs in replay ``dones``: the value bootstrap and the continuation
+    # head must see time-limit states as continuing (the host collector
+    # already stores terminated-only, parallel/collect.py:128).
+    terminateds: jnp.ndarray
 
 
 def fused_collect(
@@ -272,6 +302,7 @@ def fused_collect(
             rewards=next_states.reward,
             next_observations=next_states.obs,
             dones=next_states.done,
+            terminateds=next_states.terminated,
         )
         return next_states, transition
 

@@ -11,19 +11,96 @@ Design notes:
   NCHW data (the reference is NCHW throughout).
 - PixelShuffle upsampling is expressed as a depth-to-space reshape
   (reference: visual_encoders.py:399 uses nn.PixelShuffle).
-- Spectral normalization defaults off (the reference wraps convs in
-  spectral_norm, visual_encoders.py:70-71); see DEVIATIONS.md.
+- Spectral normalization (the reference wraps convs in
+  nn.utils.spectral_norm, visual_encoders.py:70-71) is implemented
+  STATELESSLY (``spectral_normalize``/``SNConv``): power iteration restarts
+  from a fixed vector each forward instead of carrying torch-style u/v
+  buffers, so params stay a plain pytree and apply stays pure. Defaults off
+  (deviation, DEVIATIONS.md); enable via
+  ``ActiveInferenceConfig.use_spectral_norm``.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import functools
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import mish
+
+
+def spectral_normalize(
+    kernel: jnp.ndarray, num_iters: int = 5, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Divide a weight tensor by its leading singular value.
+
+    TPU-native form of torch's ``nn.utils.spectral_norm`` (reference:
+    encoder/visual_encoders.py:70-71): instead of mutable u/v buffers updated
+    once per forward, run ``num_iters`` power-iteration steps from a fixed
+    deterministic start each call. The matvecs are tiny relative to the conv
+    itself, and the result is a pure function of the kernel — jit/grad/vmap
+    compose with no state threading.
+    """
+    w = kernel.reshape(-1, kernel.shape[-1])  # (fan_in, out)
+    v0 = jnp.full((w.shape[0],), 1.0 / jnp.sqrt(jnp.float32(w.shape[0])), w.dtype)
+
+    def body(v, _):
+        u = w.T @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+        v = w @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        return v, u
+
+    v, us = jax.lax.scan(body, v0, None, length=num_iters)
+    sigma = v @ (w @ us[-1])
+    return kernel / jnp.maximum(sigma, eps)
+
+
+class SNConv(nn.Module):
+    """2D conv with stateless spectral normalization of the kernel.
+
+    Drop-in for the ``nn.Conv`` call sites in this file (same param names
+    ``kernel``/``bias``, same int-padding convention), used when
+    ``use_spectral_norm`` is set. NHWC only.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    sn_iters: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features)
+        )
+        kernel = spectral_normalize(kernel, self.sn_iters)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=tuple(self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def conv_cls(use_spectral_norm: bool):
+    """nn.Conv, or its spectrally-normalized drop-in."""
+    return SNConv if use_spectral_norm else nn.Conv
 
 
 def nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
@@ -85,10 +162,11 @@ class DrQV2Encoder(nn.Module):
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
 
+        conv = conv_cls(self.use_spectral_norm)
         channels = [self.num_filters * (2 ** min(i, 3)) for i in range(self.num_layers)]
         for i, ch in enumerate(channels):
             stride = 2 if i == 0 else 1
-            x = nn.Conv(
+            x = conv(
                 ch,
                 (3, 3),
                 strides=(stride, stride),
@@ -131,31 +209,34 @@ class DecoderBlock(nn.Module):
     out_channels: int
     upsample: bool = False
     dropout_rate: float = 0.1
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        conv = conv_cls(self.use_spectral_norm)
+
         def instance_norm(h, name):
             return nn.GroupNorm(num_groups=h.shape[-1], name=name)(h)
 
         # Main path
         if self.upsample:
-            h = nn.Conv(self.out_channels * 4, (3, 3), padding=1, name="main_conv1")(x)
+            h = conv(self.out_channels * 4, (3, 3), padding=1, name="main_conv1")(x)
             h = depth_to_space(h, 2)
         else:
-            h = nn.Conv(self.out_channels, (3, 3), padding=1, name="main_conv1")(x)
+            h = conv(self.out_channels, (3, 3), padding=1, name="main_conv1")(x)
         h = instance_norm(h, "main_in1")
         h = mish(h)
         h = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2), deterministic=not train)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="main_conv2")(h)
+        h = conv(self.out_channels, (3, 3), padding=1, name="main_conv2")(h)
         h = instance_norm(h, "main_in2")
 
         # Residual path
         if x.shape[-1] != self.out_channels or self.upsample:
             if self.upsample:
-                r = nn.Conv(self.out_channels * 4, (1, 1), name="res_conv")(x)
+                r = conv(self.out_channels * 4, (1, 1), name="res_conv")(x)
                 r = depth_to_space(r, 2)
             else:
-                r = nn.Conv(self.out_channels, (1, 1), name="res_conv")(x)
+                r = conv(self.out_channels, (1, 1), name="res_conv")(x)
             r = instance_norm(r, "res_in")
         else:
             r = x
@@ -172,6 +253,7 @@ class ConvDecoder(nn.Module):
     hidden_dim: int = 256
     spatial_size: int = 21
     dropout_rate: float = 0.2
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, latent: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -186,10 +268,11 @@ class ConvDecoder(nn.Module):
         h = mish(h)
         h = h.reshape(b, s, s, self.hidden_dim)
 
-        h = DecoderBlock(self.hidden_dim, upsample=False, name="block0")(h, train=train)
-        h = DecoderBlock(self.hidden_dim // 2, upsample=True, name="block1")(h, train=train)
-        h = DecoderBlock(self.hidden_dim // 4, upsample=True, name="block2")(h, train=train)
-        h = DecoderBlock(self.hidden_dim // 8, upsample=False, name="block3")(h, train=train)
+        block = functools.partial(DecoderBlock, use_spectral_norm=self.use_spectral_norm)
+        h = block(self.hidden_dim, upsample=False, name="block0")(h, train=train)
+        h = block(self.hidden_dim // 2, upsample=True, name="block1")(h, train=train)
+        h = block(self.hidden_dim // 4, upsample=True, name="block2")(h, train=train)
+        h = block(self.hidden_dim // 8, upsample=False, name="block3")(h, train=train)
 
         h = nn.Conv(32, (3, 3), padding=1, name="out_conv1")(h)
         h = nn.GroupNorm(num_groups=32, name="out_in1")(h)

@@ -24,7 +24,12 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="Pendulum-v1",
-                        choices=["Pendulum-v1", "PointMass2D-v0", "Reacher2Link-v0"])
+                        choices=["Pendulum-v1", "PointMass2D-v0", "Reacher2Link-v0",
+                                 # MJX MuJoCo tasks (exact Gymnasium -v4
+                                 # semantics, envs/mujoco_tasks.py); need the
+                                 # mujoco-mjx package for on-device physics.
+                                 "HalfCheetah-v4", "Hopper-v4", "Walker2d-v4",
+                                 "Ant-v4", "Humanoid-v4", "HumanoidStandup-v4"])
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--steps-per-iter", type=int, default=32)
     parser.add_argument("--updates-per-iter", type=int, default=8)
@@ -199,9 +204,13 @@ def main():
             env_states=env_states,
         )
         flat = flatten_transitions(transitions)
+        # Replay ``dones`` carries TERMINATED only (no time-limit truncation):
+        # the value bootstrap and the continuation head must see time-limit
+        # states as continuing. Matches the host collector, which stores
+        # `terminated` (parallel/collect.py:128).
         replay = replay_add_batch(
             replay, flat.observations, flat.actions, flat.rewards,
-            flat.next_observations, flat.dones,
+            flat.next_observations, flat.terminateds,
         )
         mean_reward = jnp.mean(flat.rewards)
         return replay, env_states, mean_reward
