@@ -1,26 +1,45 @@
 """MJX (MuJoCo-in-JAX) environment adapter for the fused rollout path.
 
 No reference counterpart (the reference steps host Gymnasium MuJoCo in worker
-processes). When the ``mujoco-mjx`` package is installed, this adapter exposes
-MuJoCo tasks through the same ``JaxEnv`` interface as ``jax_envs.py`` so
-physics runs on-device under vmap/jit/scan via ``fused_collect``.
+processes, examples/train_mujoco.py:41-70). When the ``mujoco-mjx`` package
+is installed, this adapter exposes the MuJoCo locomotion tasks through the
+same ``JaxEnv`` interface as ``jax_envs.py`` so physics runs on-device under
+vmap/jit/scan via ``fused_collect``.
 
-This container image has mujoco but not mujoco-mjx; the adapter raises a
-clear error at construction when MJX is unavailable and is exercised by a
-skipif-guarded test. The observation/reward construction below follows the
-Gymnasium ``-v4`` state tasks (qpos[1:] ++ qvel observations for the
-2D runners, forward-progress + ctrl-cost rewards).
+All Gymnasium ``-v4`` semantics — observation layout (including Humanoid's
+376-dim full-body observation), reward terms (forward progress, healthy
+bonus, control/contact costs), unhealthy-state termination, and per-task
+reset noise — live in ``envs/mujoco_tasks.py`` as pure functions of physics
+fields, cross-validated bit-for-bit against host Gymnasium on identical
+``(qpos, qvel)`` states (tests/test_mujoco_tasks.py). This file only binds
+them to MJX's data structures.
+
+This container image has mujoco 3.10 but not the separate ``mujoco-mjx``
+distribution, so the adapter raises a clear error at construction when MJX
+is unavailable; the semantics layer itself is fully exercised by the host
+cross-validation tests either way.
 """
 
 from __future__ import annotations
 
 import importlib.util
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from .jax_envs import EnvState, JaxEnv
+from .mujoco_tasks import (
+    MjPhysicsFields,
+    MjTaskSpec,
+    TASK_SPECS,
+    observation_dim,
+    reset_qpos_qvel,
+    task_observation,
+    task_reward,
+    task_terminated,
+)
 
 
 def mjx_available() -> bool:
@@ -29,101 +48,129 @@ def mjx_available() -> bool:
     )
 
 
-# Gymnasium -v4 task metadata: (xml asset, frame_skip, ctrl cost weight,
-# forward reward weight, exclude-root-x from obs)
-_TASKS = {
-    "HalfCheetah-v4": ("half_cheetah.xml", 5, 0.1, 1.0, True),
-    "Hopper-v4": ("hopper.xml", 4, 1e-3, 1.0, True),
-    "Walker2d-v4": ("walker2d.xml", 4, 1e-3, 1.0, True),
-    "Ant-v4": ("ant.xml", 5, 0.5, 1.0, True),
-    "Humanoid-v4": ("humanoid.xml", 5, 0.1, 1.25, True),
-}
+def gym_asset_path(xml_file: str) -> str:
+    """Resolve a task XML from the installed Gymnasium assets (the exact
+    models ``gym.make("<Task>-v4")`` loads)."""
+    import gymnasium.envs.mujoco as gym_mujoco
+
+    return os.path.join(os.path.dirname(gym_mujoco.__file__), "assets", xml_file)
 
 
 class MJXEnv(JaxEnv):
-    """Batched MuJoCo physics on TPU via MJX, matching Gymnasium -v4 obs and
-    reward structure for the locomotion tasks."""
+    """Batched MuJoCo physics on TPU via MJX with exact Gymnasium -v4
+    observation/reward/termination/reset semantics."""
 
-    def __init__(self, env_name: str, reset_noise_scale: float = 0.1):
+    def __init__(self, env_name: str, spec: Optional[MjTaskSpec] = None):
         if not mjx_available():
             raise ImportError(
                 "mujoco-mjx is not installed; MJXEnv needs the 'mujoco-mjx' "
                 "package. Use envs.jax_envs for analytic on-device envs or "
                 "the host vec-env path (envs/vec_env.py) for Gymnasium MuJoCo."
             )
-        if env_name not in _TASKS:
-            raise ValueError(f"Unsupported MJX task {env_name}; have {sorted(_TASKS)}")
+        spec = spec or TASK_SPECS.get(env_name)
+        if spec is None:
+            raise ValueError(
+                f"Unsupported MJX task {env_name}; have {sorted(TASK_SPECS)}"
+            )
 
         import mujoco
         from mujoco import mjx
 
-        xml, frame_skip, ctrl_cost, fwd_weight, exclude_x = _TASKS[env_name]
-        import gymnasium.envs.mujoco as gym_mujoco
-        import os
-
-        asset_path = os.path.join(os.path.dirname(gym_mujoco.__file__), "assets", xml)
-        self.model = mujoco.MjModel.from_xml_path(asset_path)
+        self.spec = spec
+        self.model = mujoco.MjModel.from_xml_path(gym_asset_path(spec.xml_file))
         self.mjx_model = mjx.put_model(self.model)
         self._mjx = mjx
-        self.frame_skip = frame_skip
-        self.ctrl_cost_weight = ctrl_cost
-        self.forward_reward_weight = fwd_weight
-        self.exclude_root_x = exclude_x
-        self.reset_noise_scale = reset_noise_scale
-        self.dt = self.model.opt.timestep * frame_skip
+        self.dt = float(self.model.opt.timestep * spec.frame_skip)
+        self.model_timestep = float(self.model.opt.timestep)
+        # gym MujocoEnv captures init state after the initial forward();
+        # for these models that is (qpos0, zeros).
+        self._init_qpos = jnp.asarray(self.model.qpos0, jnp.float32)
+        self._init_qvel = jnp.zeros((self.model.nv,), jnp.float32)
+        self._body_mass = jnp.asarray(self.model.body_mass, jnp.float32)
+        self._torso_id = (
+            int(mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_BODY, "torso"))
+            if spec.forward_from == "torso"
+            else None
+        )
 
-        nq, nv = self.model.nq, self.model.nv
-        self.observation_dim = (nq - 1 if exclude_x else nq) + nv
+        self.observation_dim = observation_dim(
+            spec, self.model.nq, self.model.nv, self.model.nbody
+        )
         self.action_dim = self.model.nu
-        self.max_episode_steps = 1000
+        self.max_episode_steps = spec.max_episode_steps
 
-    def _obs_from_data(self, data):
-        qpos = data.qpos[1:] if self.exclude_root_x else data.qpos
-        return jnp.concatenate([qpos, data.qvel])
+    # -- field extraction ------------------------------------------------
+
+    def _fields(self, data) -> MjPhysicsFields:
+        spec = self.spec
+        need_body = spec.full_body_obs or spec.use_contact_forces or spec.standup
+        return MjPhysicsFields(
+            qpos=data.qpos,
+            qvel=data.qvel,
+            cinert=data.cinert if spec.full_body_obs else None,
+            cvel=data.cvel if spec.full_body_obs else None,
+            qfrc_actuator=data.qfrc_actuator if spec.full_body_obs else None,
+            cfrc_ext=data.cfrc_ext if need_body else None,
+            xipos=data.xipos if spec.forward_from == "com" else None,
+            torso_xpos=(
+                data.xpos[self._torso_id] if self._torso_id is not None else None
+            ),
+        )
+
+    # -- JaxEnv interface ------------------------------------------------
 
     def reset(self, key: jax.Array) -> EnvState:
-        k1, k2, carry_key = jax.random.split(key, 3)
-        data = self._mjx.make_data(self.mjx_model)
-        noise = self.reset_noise_scale
-        qpos = self.model.qpos0 + jax.random.uniform(
-            k1, (self.model.nq,), minval=-noise, maxval=noise
+        noise_key, carry_key = jax.random.split(key)
+        qpos, qvel = reset_qpos_qvel(
+            self.spec, noise_key, self._init_qpos, self._init_qvel
         )
-        qvel = noise * jax.random.normal(k2, (self.model.nv,))
+        data = self._mjx.make_data(self.mjx_model)
         data = data.replace(qpos=qpos, qvel=qvel)
         data = self._mjx.forward(self.mjx_model, data)
-        obs = self._obs_from_data(data)
+        obs = task_observation(self.spec, self._fields(data))
         return EnvState(
-            physics=data,  # MJX data pytree
+            physics=data,
             obs=obs,
             reward=jnp.zeros(()),
             done=jnp.zeros((), bool),
             step_count=jnp.zeros((), jnp.int32),
             key=carry_key,
+            terminated=jnp.zeros((), bool),
         )
 
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         data = state.physics
-        x_before = data.qpos[0]
-        data = data.replace(ctrl=jnp.clip(action, -1.0, 1.0))
+        fields_before = self._fields(data)
+        # gym's do_simulation sets data.ctrl = action unclipped; MuJoCo clamps
+        # to the actuator ctrlrange internally during the step.
+        data = data.replace(ctrl=action)
 
         def physics_step(d, _):
             return self._mjx.step(self.mjx_model, d), None
 
-        data, _ = jax.lax.scan(physics_step, data, None, length=self.frame_skip)
-        x_after = data.qpos[0]
-
-        forward_reward = (
-            self.forward_reward_weight * (x_after - x_before) / self.dt
+        data, _ = jax.lax.scan(
+            physics_step, data, None, length=self.spec.frame_skip
         )
-        ctrl_cost = self.ctrl_cost_weight * jnp.sum(jnp.square(action))
-        reward = forward_reward - ctrl_cost
+        fields_after = self._fields(data)
+
+        reward = task_reward(
+            self.spec,
+            fields_before,
+            fields_after,
+            action,
+            self.dt,
+            body_mass=self._body_mass,
+            model_timestep=self.model_timestep,
+        )
+        terminated = task_terminated(self.spec, data.qpos, data.qvel)
 
         step_count = state.step_count + 1
-        done = step_count >= self.max_episode_steps
+        truncated = step_count >= self.max_episode_steps
         return state.replace(
             physics=data,
-            obs=self._obs_from_data(data),
+            obs=task_observation(self.spec, fields_after),
             reward=reward,
-            done=done,
+            done=terminated | truncated,
+            terminated=terminated,
             step_count=step_count,
         )
