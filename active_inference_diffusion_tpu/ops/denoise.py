@@ -126,12 +126,19 @@ def fused_sweep_supported(
     hidden_dim: int,
     latent_dim: int,
     num_layers: int,
-    vmem_budget: int = 10 * 2**20,
+    vmem_budget: int = 48 * 2**20,
     bytes_per_param: int = 4,
 ) -> bool:
     """VMEM-fit gate. ``bytes_per_param=2`` (compute_dtype=bfloat16) doubles
     the supported hidden range; on real TPUs bf16 kernel storage is
-    numerically free (Mosaic lowers f32 dots to bf16 MXU passes anyway)."""
+    numerically free (Mosaic lowers f32 dots to bf16 MXU passes anyway).
+
+    The budget is weights-only: v5e cores have 128 MiB of VMEM and the
+    kernel's activations are a few MiB per 256-row batch tile, so 48 MiB of
+    weights leaves ample headroom (hidden 384 x 6 layers in f32, hidden 512
+    in bf16). This is exactly the regime where the kernel beats the XLA scan
+    — per-step HBM weight re-streaming dominates the scan there, while the
+    kernel loads weights once for all K steps (measured in docs/PERF.md)."""
     return (
         trunk_weight_bytes(hidden_dim, latent_dim, num_layers, bytes_per_param)
         <= vmem_budget

@@ -2,7 +2,7 @@
 """Headline benchmark: denoiser throughput on the flagship HalfCheetah config.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 Metric: reverse-diffusion denoiser steps/sec at the reference entry-point
 flagship configuration (batch 256, latent 32, hidden 128, K=25 cosine
@@ -11,10 +11,23 @@ one score-network forward + p_sample update over the full 256 batch; this is
 the hot loop of both collection and training in the reference
 (reference: core/diffusion.py:176-206, utils/async_collector.py:530-595).
 
+``value`` is STEADY-STATE throughput; compile time is reported separately in
+``detail`` (through the axon tunnel, cold compiles are minutes while warm
+ones are ~10 s — conflating them would swamp the measurement).
+
 vs_baseline divides by the PyTorch reference's self-measured throughput on
-this host (benchmarks/baseline_torch.py; the reference publishes no numbers —
-see BASELINE.md). Secondary metrics (train-step throughput, sweep latency) go
-to stderr.
+this host (benchmarks/baseline_torch.py). CAVEAT (carried in the JSON): the
+host has no GPU, so the baseline is torch-on-CPU; a GPU reference would cut
+the multiplier by roughly an order of magnitude. The reference publishes no
+numbers of its own — see BASELINE.md.
+
+Secondary sections (all stderr + ``detail``):
+- Pallas fused-sweep A/B at the flagship config.
+- Scale section at the humanoid_state.yaml config (latent 64, hidden 256,
+  K=50): XLA f32 vs bf16-matmul vs Pallas-fused sweep, train-step ms with
+  and without remat_score_network, and achieved TF/s from XLA's own cost
+  analysis — the MXU-saturation evidence for the design.
+- Fused on-device collection env-steps/s.
 """
 
 from __future__ import annotations
@@ -72,104 +85,115 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} / {dev.device_kind}")
+    detail = {"device": f"{dev.platform}/{dev.device_kind}"}
 
-    config = ActiveInferenceConfig(
-        observation_dim=17,
-        action_dim=6,
-        latent_dim=LATENT_DIM,
-        hidden_dim=HIDDEN_DIM,
-        batch_size=BATCH,
-        kl_weight=0.5,
-        diffusion=DiffusionConfig(num_diffusion_steps=NUM_STEPS, beta_schedule="cosine"),
-    )
-    config.tpu.donate_buffers = False
-    config.tpu.use_pallas_denoiser = False  # measure the plain XLA scan first
-    agent = DiffusionStateAgent(17, 6, config, TrainingConfig(buffer_size=2048))
-    params = agent.core.init_params(jax.random.PRNGKey(0))
-
-    obs = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 17))
-
-    @jax.jit
-    def sweep(params, key, observations):
-        return agent.core.generate_beliefs(
-            params, key, observations, compute_reconstruction=False
-        ).latent
-
-    # --- denoiser sweep benchmark -------------------------------------
-    key = jax.random.PRNGKey(2)
-    t0 = time.perf_counter()
-    sweep(params, key, obs).block_until_ready()
-    compile_time = time.perf_counter() - t0
-    log(f"sweep compile: {compile_time:.1f}s")
-
-    if not bool(jnp.isfinite(sweep(params, key, obs)).all()):
-        raise RuntimeError("XLA sweep produced non-finite latents")
+    def make_agent(latent, hidden, k, obs_dim=17, act_dim=6, **kw):
+        cfg = ActiveInferenceConfig(
+            observation_dim=obs_dim,
+            action_dim=act_dim,
+            latent_dim=latent,
+            hidden_dim=hidden,
+            batch_size=BATCH,
+            kl_weight=0.5,
+            diffusion=DiffusionConfig(num_diffusion_steps=k, beta_schedule="cosine"),
+            **kw,
+        )
+        cfg.tpu.donate_buffers = False
+        cfg.tpu.use_pallas_denoiser = False
+        return DiffusionStateAgent(obs_dim, act_dim, cfg, TrainingConfig(buffer_size=2048))
 
     n_warm, n_timed, n_trials = 3, 20, 3
 
-    def time_sweep(fn, key):
-        """Best-of-N trials (device/tunnel timing is noisy run to run)."""
+    def time_fn(fn, key, *args):
+        """Best-of-N trials (device/tunnel timing is noisy run to run).
+        Returns (seconds_per_call, key)."""
         best = float("inf")
         for _ in range(n_trials):
             for _ in range(n_warm):
                 key, sub = jax.random.split(key)
-                fn(params, sub, obs).block_until_ready()
+                jax.block_until_ready(fn(sub, *args))
             t0 = time.perf_counter()
             for _ in range(n_timed):
                 key, sub = jax.random.split(key)
-                out = fn(params, sub, obs)
-            out.block_until_ready()
+                out = fn(sub, *args)
+            jax.block_until_ready(out)
             best = min(best, (time.perf_counter() - t0) / n_timed)
         return best, key
 
-    per_sweep, key = time_sweep(sweep, key)
-    sweeps_per_sec = 1.0 / per_sweep
+    def bench_sweep(agent, params, obs, key, label, pallas=False, flops=None):
+        """Compile + steady-state timing of one belief sweep config.
+        Returns (sweeps_per_sec, compile_seconds, key) or None on failure."""
+        agent.config.tpu.use_pallas_denoiser = pallas
+        agent.core._fused_sweep_checked = None
+
+        @jax.jit
+        def sweep(k, o):
+            return agent.core.generate_beliefs(
+                params, k, o, compute_reconstruction=False
+            ).latent
+
+        try:
+            t0 = time.perf_counter()
+            first = sweep(key, obs)
+            first.block_until_ready()
+            compile_s = time.perf_counter() - t0
+            if not bool(jnp.isfinite(first).all()):
+                raise RuntimeError(f"{label}: non-finite latents")
+            per_call, key = time_fn(sweep, key, obs)
+        except Exception as e:
+            log(f"{label}: unavailable ({type(e).__name__}: {e})")
+            return None
+        finally:
+            agent.config.tpu.use_pallas_denoiser = False
+            agent.core._fused_sweep_checked = None
+        sps = 1.0 / per_call
+        tf = f", {flops * sps / 1e12:.2f} TF/s" if flops else ""
+        log(
+            f"{label}: {1e3 * per_call:.2f} ms/sweep -> {sps:.1f} sweeps/s "
+            f"(compile {compile_s:.1f}s{tf})"
+        )
+        return sps, compile_s, key
+
+    # ================= flagship config (headline) ======================
+    agent = make_agent(LATENT_DIM, HIDDEN_DIM, NUM_STEPS)
+    params = agent.core.init_params(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 17))
+    key = jax.random.PRNGKey(2)
+
+    res = bench_sweep(agent, params, obs, key, "flagship sweep (XLA scan, f32)")
+    if res is None:
+        raise RuntimeError("flagship sweep failed")
+    sweeps_per_sec, compile_s, key = res
     denoiser_steps_per_sec = sweeps_per_sec * NUM_STEPS
-    elapsed = per_sweep * n_timed  # for the log line below
+    detail["flagship_sweep"] = {
+        "sweeps_per_sec": round(sweeps_per_sec, 1),
+        "compile_seconds": round(compile_s, 1),
+    }
     log(
-        f"sweep (XLA scan): {1e3 * elapsed / n_timed:.2f} ms -> "
-        f"{sweeps_per_sec:.1f} sweeps/s, "
-        f"{denoiser_steps_per_sec:.1f} denoiser steps/s, "
+        f"  = {denoiser_steps_per_sec:.1f} denoiser steps/s, "
         f"{sweeps_per_sec * BATCH:.0f} latents/s"
     )
 
-    # --- Pallas fused-kernel sweep -------------------------------------
+    # bf16 matmul row: same program under single-pass bf16 MXU matmuls
+    # (default TPU f32 dots take multiple passes).
+    with jax.default_matmul_precision("bfloat16"):
+        res = bench_sweep(agent, params, obs, key, "flagship sweep (XLA scan, bf16 matmul)")
+    if res:
+        bf16_sps, _, key = res
+        detail["flagship_sweep"]["bf16_matmul_sweeps_per_sec"] = round(bf16_sps, 1)
+
     if dev.platform == "tpu":
-        try:
-            config.tpu.use_pallas_denoiser = True
-            agent.core._fused_sweep_checked = None  # re-evaluate flag
+        res = bench_sweep(agent, params, obs, key, "flagship sweep (Pallas fused)", pallas=True)
+        if res:
+            p_sps, p_compile, key = res
+            log(f"  pallas/XLA ratio at flagship: {p_sps / sweeps_per_sec:.2f}x")
+            detail["flagship_sweep"]["pallas_sweeps_per_sec"] = round(p_sps, 1)
+            detail["flagship_sweep"]["pallas_vs_xla"] = round(p_sps / sweeps_per_sec, 2)
+            if p_sps > sweeps_per_sec:
+                sweeps_per_sec = p_sps
+                denoiser_steps_per_sec = p_sps * NUM_STEPS
 
-            @jax.jit
-            def sweep_pallas(params, key, observations):
-                return agent.core.generate_beliefs(
-                    params, key, observations, compute_reconstruction=False
-                ).latent
-
-            t0 = time.perf_counter()
-            first = sweep_pallas(params, key, obs)
-            first.block_until_ready()
-            log(f"pallas sweep compile: {time.perf_counter() - t0:.1f}s")
-            if not bool(jnp.isfinite(first).all()):
-                raise RuntimeError("pallas sweep produced non-finite latents")
-            p_per_sweep, key = time_sweep(sweep_pallas, key)
-            p_elapsed = p_per_sweep * n_timed
-            p_sweeps = 1.0 / p_per_sweep
-            log(
-                f"sweep (Pallas fused): {1e3 * p_elapsed / n_timed:.2f} ms -> "
-                f"{p_sweeps:.1f} sweeps/s, {p_sweeps * NUM_STEPS:.1f} denoiser "
-                f"steps/s ({p_sweeps / sweeps_per_sec:.2f}x vs XLA scan)"
-            )
-            if p_sweeps > sweeps_per_sec:
-                sweeps_per_sec = p_sweeps
-                denoiser_steps_per_sec = p_sweeps * NUM_STEPS
-        except Exception as e:
-            log(f"pallas sweep unavailable: {type(e).__name__}: {e}")
-        finally:
-            # train-step benchmark uses the production default (XLA scan)
-            config.tpu.use_pallas_denoiser = False
-            agent.core._fused_sweep_checked = None
-
-    # --- train-step benchmark (secondary) ------------------------------
+    # --- flagship train-step (secondary) -------------------------------
     state = agent.init_train_state(jax.random.PRNGKey(3))
     keys = jax.random.split(jax.random.PRNGKey(4), 5)
     batch = {
@@ -182,7 +206,7 @@ def main():
     t0 = time.perf_counter()
     state, first_metrics = agent.train_step(state, batch)
     jax.block_until_ready(state.params)
-    log(f"train_step compile: {time.perf_counter() - t0:.1f}s")
+    ts_compile = time.perf_counter() - t0
     bad = [k for k, v in first_metrics.items() if not bool(jnp.isfinite(v))]
     if bad:
         raise RuntimeError(f"train_step produced non-finite metrics: {bad}")
@@ -191,13 +215,104 @@ def main():
     for _ in range(n_train):
         state, metrics = agent.train_step(state, batch)
     jax.block_until_ready(state.params)
-    train_elapsed = time.perf_counter() - t0
+    ts_ms = 1e3 * (time.perf_counter() - t0) / n_train
     log(
-        f"train_step: {1e3 * train_elapsed / n_train:.2f} ms -> "
-        f"{n_train / train_elapsed:.2f} updates/s (batch {BATCH})"
+        f"flagship train_step: {ts_ms:.2f} ms -> {1e3 / ts_ms:.2f} updates/s "
+        f"(batch {BATCH}, compile {ts_compile:.1f}s)"
     )
+    detail["flagship_train_step"] = {
+        "ms": round(ts_ms, 2),
+        "compile_seconds": round(ts_compile, 1),
+    }
 
-    # --- fused on-device collection (secondary metric) -----------------
+    # ================= scale section: humanoid config ==================
+    # humanoid_state.yaml scale (latent 64, hidden 256, K=50): the config
+    # where weight re-streaming dominates the XLA scan and the Pallas
+    # fused kernel must prove out (VERDICT r1 #2/#6).
+    run_scale = dev.platform == "tpu" or _os.environ.get("BENCH_SCALE")
+    try:
+        if not run_scale:
+            raise RuntimeError("scale section is TPU-only (BENCH_SCALE=1 forces)")
+        h_agent = make_agent(64, 256, 50, obs_dim=376, act_dim=17)
+        h_params = h_agent.core.init_params(jax.random.PRNGKey(10))
+        h_obs = jax.random.normal(jax.random.PRNGKey(11), (BATCH, 376))
+
+        # analytic sweep FLOPs: K score-net forwards over the batch
+        def sweep_flops(hidden, latent, layers, k_steps, b):
+            per_block = 14 * hidden * hidden  # mod1+v+o+mod2+f1(4h)+f2(4h)
+            head = latent * hidden + hidden * 2 * hidden + hidden * (hidden // 2) + (hidden // 2) * latent
+            return 2 * b * k_steps * (layers * per_block + head)
+
+        hf = sweep_flops(256, 64, h_agent.config.score_num_layers, 50, BATCH)
+        sc = {}
+        res = bench_sweep(
+            h_agent, h_params, h_obs, key,
+            "humanoid-scale sweep (XLA scan, f32)", flops=hf,
+        )
+        if res:
+            sc["xla_f32_sweeps_per_sec"] = round(res[0], 1)
+            sc["xla_f32_tf_per_sec"] = round(hf * res[0] / 1e12, 2)
+            key = res[2]
+        with jax.default_matmul_precision("bfloat16"):
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (XLA scan, bf16 matmul)", flops=hf,
+            )
+        if res:
+            sc["xla_bf16_sweeps_per_sec"] = round(res[0], 1)
+            key = res[2]
+        if dev.platform == "tpu":
+            h_agent.config.tpu.compute_dtype = "bfloat16"
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (Pallas fused, bf16 weights)",
+                pallas=True, flops=hf,
+            )
+            if res:
+                sc["pallas_bf16_sweeps_per_sec"] = round(res[0], 1)
+                base = sc.get("xla_f32_sweeps_per_sec")
+                if base:
+                    sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
+                    log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
+                key = res[2]
+            h_agent.config.tpu.compute_dtype = "float32"
+
+        # train step at scale, with and without remat
+        h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
+        hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
+        h_batch = {
+            "observations": jax.random.normal(hkeys[0], (BATCH, 376)),
+            "actions": jax.random.normal(hkeys[1], (BATCH, 17)),
+            "rewards": jax.random.normal(hkeys[2], (BATCH,)),
+            "next_observations": jax.random.normal(hkeys[3], (BATCH, 376)),
+            "dones": jax.random.bernoulli(hkeys[4], 0.05, (BATCH,)),
+        }
+        for remat in (False, True):
+            h_agent.config.tpu.remat_score_network = remat
+            # fresh jit wrapper: the flag is a closure constant, the cached
+            # trace would not see it change
+            h_agent._train_step = jax.jit(h_agent._train_step_impl)
+            label = f"humanoid-scale train_step (remat={remat})"
+            try:
+                t0 = time.perf_counter()
+                h_state2, m = h_agent.train_step(h_state, h_batch)
+                jax.block_until_ready(h_state2.params)
+                c = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    h_state2, m = h_agent.train_step(h_state, h_batch)
+                jax.block_until_ready(h_state2.params)
+                ms = 1e3 * (time.perf_counter() - t0) / 5
+                log(f"{label}: {ms:.1f} ms (compile {c:.1f}s)")
+                sc[f"train_step_ms_remat_{remat}"] = round(ms, 1)
+            except Exception as e:
+                log(f"{label}: failed ({type(e).__name__}: {e})")
+        h_agent.config.tpu.remat_score_network = False
+        detail["humanoid_scale"] = sc
+    except Exception as e:
+        log(f"humanoid-scale section skipped: {type(e).__name__}: {e}")
+
+    # ================= fused on-device collection ======================
     # env steps/sec/chip with diffusion-belief action selection fused into
     # the rollout (the reference's process collectors top out at O(10^2)
     # steps/s; see SURVEY.md section 2.6).
@@ -252,6 +367,7 @@ def main():
             f"fused on-device collect: {fused_sps:,.0f} env steps/s "
             f"({n_envs} envs, K=10 belief sweep per step, 1 chip)"
         )
+        detail["fused_collect_env_steps_per_sec"] = round(fused_sps)
     except Exception as e:
         log(f"fused collect bench skipped: {type(e).__name__}: {e}")
 
@@ -262,14 +378,20 @@ def main():
         f"baseline ({baseline['framework']} on {baseline['device']}): "
         f"{baseline['denoiser_steps_per_sec']:.1f} denoiser steps/s -> {vs:.1f}x"
     )
+    detail["baseline_note"] = (
+        f"baseline is the reference ({baseline['framework']}) on "
+        f"{baseline['device']} — this host has no GPU; a CUDA reference "
+        "would cut vs_baseline by roughly an order of magnitude"
+    )
     print(
         json.dumps(
             {
                 "metric": "denoiser_steps_per_sec",
                 "value": round(denoiser_steps_per_sec, 2),
-                "unit": f"score-net steps/s (batch {BATCH}, K={NUM_STEPS}, "
-                f"latent {LATENT_DIM}, hidden {HIDDEN_DIM})",
+                "unit": f"score-net steps/s steady-state (batch {BATCH}, "
+                f"K={NUM_STEPS}, latent {LATENT_DIM}, hidden {HIDDEN_DIM})",
                 "vs_baseline": round(vs, 2),
+                "detail": detail,
             }
         )
     )
