@@ -80,6 +80,11 @@ class AgentTrainState(struct.PyTreeNode):
     reward_norm: RewardNormState
     preference_temperature: jnp.ndarray
     rng: jax.Array
+    # Polyak average of params['policy'] (late-run drift stabilizer; see
+    # ActiveInferenceConfig.policy_anchor_weight). None when both anchor
+    # and act_with_policy_ema are off — the empty pytree keeps old
+    # checkpoints structurally compatible.
+    ema_policy: Any = None
 
 
 def make_optimizers(
@@ -219,6 +224,14 @@ class BaseAgent:
                 self.config.preference_temperature, jnp.float32
             ),
             rng=state_rng,
+            ema_policy=(
+                init_ema(params["policy"])
+                if (
+                    self.config.policy_anchor_weight > 0
+                    or self.config.act_with_policy_ema
+                )
+                else None
+            ),
         )
 
     def init_params(self, param_key: jax.Array, extra_key: jax.Array) -> Params:

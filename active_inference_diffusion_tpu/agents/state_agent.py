@@ -120,11 +120,14 @@ class DiffusionStateAgent(BaseAgent):
         """Parameters used at act/eval time; substitutes the EMA shadow of the
         score network when ``use_ema_for_act`` is set (the reference maintains
         the EMA but never applies it, base_agent.py:73-77)."""
+        p = state.params
         if self.config.use_ema_for_act:
-            p = dict(state.params)
+            p = dict(p)
             p["score"] = state.ema_score
-            return p
-        return state.params
+        if self.config.act_with_policy_ema and state.ema_policy is not None:
+            p = dict(p)
+            p["policy"] = state.ema_policy
+        return p
 
     def _act_features(
         self, params: Params, observation: jnp.ndarray, key: jax.Array
@@ -440,6 +443,21 @@ class DiffusionStateAgent(BaseAgent):
         # --- 3. Policy update (reference state_agent.py:161-180). With
         # cfg.imagined_value_targets the actor maximizes imagined
         # lambda-returns (Dreamer-style) instead of the mean EFE.
+
+        def policy_anchor(p_policy: Params) -> jnp.ndarray:
+            """Mean KL(pi_live || pi_ema) on the replay belief latents —
+            the late-run drift anchor (cfg.policy_anchor_weight)."""
+            if cfg.policy_anchor_weight <= 0 or state.ema_policy is None:
+                return jnp.zeros(())
+            from ..models.policy import gaussian_kl
+
+            z_sg = jax.lax.stop_gradient(latents)
+            live = core.apply_policy(p_policy, z_sg)
+            ref = core.apply_policy(
+                jax.lax.stop_gradient(state.ema_policy), z_sg
+            )
+            return jnp.mean(gaussian_kl(live, ref))
+
         if cfg.imagined_value_targets:
 
             def policy_loss_fn(sub: Params):
@@ -452,6 +470,9 @@ class DiffusionStateAgent(BaseAgent):
                         jnp.exp(state.log_alpha) if cfg.auto_entropy else None
                     ),
                 )
+                anchor = policy_anchor(p["policy"])
+                info = dict(info, policy_anchor_kl=anchor)
+                actor_loss = actor_loss + cfg.policy_anchor_weight * anchor
                 return actor_loss, (imag, info)
 
             (policy_loss, (imagination, efe_info)), policy_grads = (
@@ -468,7 +489,12 @@ class DiffusionStateAgent(BaseAgent):
                     p, latents, policy_key, state.preference_temperature,
                     state.epistemic_running_mean,
                 )
-                return jnp.mean(efe), efe_info
+                anchor = policy_anchor(p["policy"])
+                efe_info = dict(efe_info, policy_anchor_kl=anchor)
+                return (
+                    jnp.mean(efe) + cfg.policy_anchor_weight * anchor,
+                    efe_info,
+                )
 
             (policy_loss, efe_info), policy_grads = jax.value_and_grad(
                 policy_loss_fn, has_aux=True
@@ -628,11 +654,20 @@ class DiffusionStateAgent(BaseAgent):
             new_return_scale = state.return_scale
             new_log_alpha = state.log_alpha
 
+        new_ema_policy = (
+            update_ema(
+                state.ema_policy, new_params["policy"], cfg.policy_ema_decay
+            )
+            if state.ema_policy is not None
+            else None
+        )
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_states=new_opt_states,
             ema_score=new_ema,
+            ema_policy=new_ema_policy,
             target_value=new_target_value,
             return_scale=new_return_scale,
             log_alpha=new_log_alpha,

@@ -254,6 +254,18 @@ class ActiveInferenceConfig:
     # actor behind the world model — the remaining drift lever after
     # return norm / auto-entropy / pessimism (see DEVIATIONS.md).
     policy_lr_scale: float = 1.0
+    # Late-run drift stabilizer (extension; DEVIATIONS.md forensics: every
+    # env's eval peaks then decays as the actor slowly walks off the
+    # world-model's support). Anchors the live actor to its own Polyak
+    # average with w * mean KL(pi_live(.|z) || pi_ema(.|z)) in the actor
+    # loss (KL of the pre-tanh Gaussians; tanh is a fixed bijection so the
+    # squashed KL is identical). 0 disables. The EMA policy is maintained
+    # whenever the weight > 0 or act_with_policy_ema is set.
+    policy_anchor_weight: float = 0.0
+    policy_ema_decay: float = 0.995
+    # Act/eval from the EMA policy instead of the live one (smooths the
+    # eval curve; composes with use_ema_for_act which covers the score net).
+    act_with_policy_ema: bool = False
     # Pessimism weight on imagined rewards: r_mean - w * r_std. The reward
     # head's std is NLL-calibrated on replay, so latents the actor pushes
     # out-of-distribution carry larger predicted std — penalizing them

@@ -45,6 +45,23 @@ class PolicyDist(NamedTuple):
         return jnp.sum(per_dim, axis=-1)
 
 
+def gaussian_kl(p: PolicyDist, q: PolicyDist) -> jnp.ndarray:
+    """KL(p || q) of two diagonal Gaussians, summed over action dims -> (B,).
+
+    Used by the policy-EMA anchor (ActiveInferenceConfig.policy_anchor_weight)
+    on the pre-tanh distributions: tanh is a fixed bijection, so the KL of
+    the squashed policies equals the KL of the base Gaussians."""
+    var_p = jnp.exp(2.0 * p.log_std)
+    var_q = jnp.exp(2.0 * q.log_std)
+    kl = (
+        q.log_std
+        - p.log_std
+        + (var_p + (p.mean - q.mean) ** 2) / (2.0 * var_q)
+        - 0.5
+    )
+    return jnp.sum(kl, axis=-1)
+
+
 def tanh_squash_log_prob(log_prob: jnp.ndarray, pre_tanh_action: jnp.ndarray) -> jnp.ndarray:
     """Tanh-squashing log-prob correction (reference: policy_networks.py:140-142)."""
     correction = 2.0 * (math.log(2.0) - pre_tanh_action - jax.nn.softplus(-2.0 * pre_tanh_action))
