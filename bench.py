@@ -277,6 +277,39 @@ def main():
                 key = res[2]
             h_agent.config.tpu.compute_dtype = "float32"
 
+        # act-time sweep A/B: host-env collection acts on num_parallel_envs
+        # rows (32 here). This is the measured config where the fused Pallas
+        # kernel clearly beats the XLA scan (1.22x on v5e, docs/PERF.md) —
+        # the scan pays per-step overhead + weight re-streaming that the
+        # single kernel amortizes.
+        if dev.platform == "tpu":
+            a_obs = h_obs[:32]
+            res = bench_sweep(
+                h_agent, h_params, a_obs, key,
+                "act-time sweep b=32 (XLA scan, f32)",
+            )
+            if res:
+                sc["act_xla_ms"] = round(1e3 / res[0], 3)
+                key = res[2]
+            h_agent.config.tpu.compute_dtype = "bfloat16"
+            res = bench_sweep(
+                h_agent, h_params, a_obs, key,
+                "act-time sweep b=32 (Pallas fused, bf16 weights)",
+                pallas=True,
+            )
+            if res:
+                sc["act_pallas_ms"] = round(1e3 / res[0], 3)
+                if "act_xla_ms" in sc:
+                    sc["act_pallas_vs_xla"] = round(
+                        sc["act_xla_ms"] / sc["act_pallas_ms"], 2
+                    )
+                    log(
+                        f"  act-time pallas/XLA ratio: "
+                        f"{sc['act_pallas_vs_xla']:.2f}x"
+                    )
+                key = res[2]
+            h_agent.config.tpu.compute_dtype = "float32"
+
         # train step at scale, with and without remat
         h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
         hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
