@@ -153,6 +153,21 @@ def test_yaml_unknown_key_raises(tmp_path):
         load_yaml_config(str(p))
 
 
+def test_all_shipped_presets_load():
+    """Every examples/configs/*.yaml must parse against the strict loader
+    (unknown fields raise), so presets can't silently drift from the
+    config schema."""
+    import glob
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    presets = sorted(glob.glob(str(root / "examples" / "configs" / "*.yaml")))
+    assert len(presets) >= 8
+    for p in presets:
+        cfg, tcfg, pcfg = load_yaml_config(p)
+        assert cfg.latent_dim > 0 and tcfg.total_timesteps > 0
+
+
 def test_visualize_reconstruction_state(tmp_path):
     from active_inference_diffusion_tpu.utils.viz import visualize_reconstruction
 
