@@ -127,6 +127,13 @@ class DiffusionPixelAgent(DiffusionStateAgent):
             {"params": params["encoder"]}, x, train=train, rngs=rngs
         )
 
+    def _epistemic_probe_chunk(self, batch_rows: int):
+        # Sequentialize the MINE Jacobian probes through the ConvDecoder in
+        # batch-size blocks: the fused vmap materializes ntk x samples x
+        # batch x 84x84x64 conv activations (>4 GB/layer at batch 128),
+        # which OOMs the 16 GB v5e; per-block jvp peaks at one decode.
+        return batch_rows
+
     def _encode_batch(
         self,
         params: Params,

@@ -253,6 +253,14 @@ class DiffusionStateAgent(BaseAgent):
         self.total_steps += 1
         return state, metrics
 
+    def _epistemic_probe_chunk(self, batch_rows: int):
+        """Row-block size for the MINE Jacobian probes through the decoder.
+        None (states) = one fused vmap; the pixel agent chunks by batch so
+        the 84x84 ConvDecoder never sees the full ntk x samples x batch
+        expansion (measured >4 GB per conv layer -> HBM OOM on v5e)."""
+        del batch_rows
+        return None
+
     def _encode_batch(
         self,
         params: Params,
@@ -588,6 +596,13 @@ class DiffusionStateAgent(BaseAgent):
                     core.epistemic_estimator, ep["epistemic"], decoder_fn,
                     next_mean, next_logvar, epi_key, running_mean,
                     num_samples=5, train=True,
+                    # Pixel agents: run the probe batch through the conv
+                    # decoder in batch-size blocks — the fully-vmapped
+                    # ntk x samples x batch expansion OOMs HBM (>4 GB conv
+                    # activations per layer at batch 128 on a 16 GB v5e).
+                    probe_chunk_rows=self._epistemic_probe_chunk(
+                        latents.shape[0]
+                    ),
                 )
                 return -result.mi_lower_bound, result
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
 
@@ -131,6 +132,10 @@ def main():
 
     # --- environments -------------------------------------------------
     if args.pixels:
+        # Headless MuJoCo rendering needs an offscreen GL backend; EGL works
+        # in this image (the reference hardcodes the same,
+        # examples/train_mujoco.py:38).
+        os.environ.setdefault("MUJOCO_GL", "egl")
         from active_inference_diffusion_tpu.envs.pixel_wrappers import make_pixel_mujoco
 
         def env_fn(i):

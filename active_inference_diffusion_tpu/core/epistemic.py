@@ -16,7 +16,7 @@ keeps it as a module buffer, :922).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -223,6 +223,7 @@ def compute_jacobian_probes(
     ntk_samples: int,
     perturbation_scale: jnp.ndarray,
     use_finite_differences: bool = False,
+    chunk_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Directional derivatives of the decoder at z along random unit directions
     (reference: core/active_inference.py:940-993).
@@ -230,6 +231,14 @@ def compute_jacobian_probes(
     Returns (ntk_samples, N, *obs_shape). With ``use_finite_differences`` this
     reproduces the reference's (f(z + eps d) - f(z)) / eps; otherwise the exact
     jvp (its eps -> 0 limit).
+
+    ``chunk_rows`` sequentializes the probe batch through the decoder in
+    row-blocks (``lax.map`` over directions AND blocks) instead of one
+    vmapped megabatch. Pixel agents need this: probing the 84x84 ConvDecoder
+    at the full ntk x num_samples x batch expansion materializes >4 GB conv
+    activations per layer (measured OOM on a 16 GB v5e at batch 128); with
+    chunking the peak working set is one block's decode. Must divide the
+    row count; None (states) keeps the single fused vmap.
     """
     dirs = jax.random.normal(key, (ntk_samples,) + z.shape, dtype=z.dtype)
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
@@ -247,7 +256,25 @@ def compute_jacobian_probes(
         _, jvp_out = jax.jvp(decoder_fn, (z,), (d,))
         return jvp_out
 
-    return jax.vmap(probe)(dirs)
+    if chunk_rows is None or z.shape[0] % chunk_rows != 0:
+        return jax.vmap(probe)(dirs)
+
+    n = z.shape[0]
+    blocks = n // chunk_rows
+    z_blocks = z.reshape(blocks, chunk_rows, z.shape[-1])
+
+    def probe_dir(d):
+        d_blocks = d.reshape(blocks, chunk_rows, z.shape[-1])
+
+        def one_block(args):
+            zb, db = args
+            _, out = jax.jvp(decoder_fn, (zb,), (db,))
+            return out
+
+        out = jax.lax.map(one_block, (z_blocks, d_blocks))
+        return out.reshape((n,) + out.shape[2:])
+
+    return jax.lax.map(probe_dir, dirs)
 
 
 def estimate_epistemic_value(
@@ -262,9 +289,14 @@ def estimate_epistemic_value(
     train: bool = False,
     alpha: float = 0.01,
     use_finite_differences: bool = False,
+    probe_chunk_rows: Optional[int] = None,
 ) -> EpistemicResult:
     """MINE lower bound on I(o; theta | z)
-    (reference: core/active_inference.py:995-1063)."""
+    (reference: core/active_inference.py:995-1063).
+
+    ``probe_chunk_rows``: sequentialize the Jacobian probes through the
+    decoder in row-blocks of this size (pixel agents pass their batch size;
+    see compute_jacobian_probes)."""
     batch_size = next_latent_mean.shape[0]
     sample_key, probe_key, perm_key, dropout_key = jax.random.split(key, 4)
 
@@ -281,6 +313,7 @@ def estimate_epistemic_value(
     probes = compute_jacobian_probes(
         decoder_fn, z_all, probe_key, estimator.ntk_samples, pscale,
         use_finite_differences=use_finite_differences,
+        chunk_rows=probe_chunk_rows,
     )
 
     # Marginal: shuffle jacobian features within each sample block (:1029-1039)

@@ -263,6 +263,35 @@ def test_autoreset_preserves_terminated_of_finishing_step():
 
 
 # ---------------------------------------------------------------------------
+# Chunked Jacobian probes (pixel HBM fix) match the fused vmap exactly
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_jacobian_probes_match_vmap():
+    from active_inference_diffusion_tpu.core.epistemic import (
+        compute_jacobian_probes,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (6, 9))
+
+    def decoder(z):
+        return jnp.tanh(z @ w)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (12, 6))
+    key = jax.random.PRNGKey(2)
+    full = compute_jacobian_probes(decoder, z, key, 4, jnp.asarray(0.1))
+    chunked = compute_jacobian_probes(
+        decoder, z, key, 4, jnp.asarray(0.1), chunk_rows=4
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)
+    # non-divisible chunk falls back to the fused path
+    fallback = compute_jacobian_probes(
+        decoder, z, key, 4, jnp.asarray(0.1), chunk_rows=5
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(fallback), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # Host replay buffers honor their key argument (VERDICT weak #6)
 # ---------------------------------------------------------------------------
 
