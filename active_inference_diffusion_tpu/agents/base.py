@@ -191,12 +191,41 @@ class BaseAgent:
         return state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     def train_epoch(self, state, replay_state, key, num_updates: int):
-        """Run ``num_updates`` (sample -> train_step) updates as one jitted
-        ``lax.scan`` program over an HBM-resident replay state. Returns
-        (new_state, mean-metrics). Only valid for device replay buffers."""
-        state, metrics = self._train_epoch(state, replay_state, key, num_updates)
+        """Run ``num_updates`` (sample -> train_step) updates as jitted
+        ``lax.scan`` dispatches over an HBM-resident replay state. Returns
+        (new_state, mean-metrics). Only valid for device replay buffers.
+
+        The block is split into near-equal chunks of at most
+        ``training_config.epoch_chunk_updates`` so that no single device
+        execution runs for minutes: a 1008-update pixel epoch in one scan is
+        a multi-minute blocking program, which the remote TPU worker kills
+        ("TPU worker process crashed or restarted"). Chunks are equal-sized
+        whenever ``num_updates`` divides evenly, so at most two scan lengths
+        ever compile. Metrics stay on device (weighted mean across chunks);
+        no host sync happens here.
+        """
+        max_chunk = getattr(self.training_config, "epoch_chunk_updates", 0)
+        if not max_chunk or num_updates <= max_chunk:
+            sizes = [num_updates]
+        else:
+            n_chunks = -(-num_updates // max_chunk)
+            base = num_updates // n_chunks
+            rem = num_updates - base * n_chunks
+            sizes = [base + 1] * rem + [base] * (n_chunks - rem)
+        metrics_sum = None
+        for sz in sizes:
+            key, sub = jax.random.split(key)
+            state, metrics = self._train_epoch(state, replay_state, sub, sz)
+            weighted = jax.tree_util.tree_map(lambda m: m * sz, metrics)
+            metrics_sum = (
+                weighted
+                if metrics_sum is None
+                else jax.tree_util.tree_map(jnp.add, metrics_sum, weighted)
+            )
         self.total_steps += num_updates
-        return state, metrics
+        return state, jax.tree_util.tree_map(
+            lambda m: m / num_updates, metrics_sum
+        )
 
     # -- state ----------------------------------------------------------
 

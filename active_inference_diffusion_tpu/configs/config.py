@@ -401,6 +401,12 @@ class TrainingConfig:
     learning_starts: int = 5_000
     train_frequency: int = 2
     gradient_steps: int = 4
+    # Cap on the number of updates fused into ONE train_epoch scan dispatch.
+    # gradient_steps * collected can reach 1000+ updates per block; for pixel
+    # agents that is a multi-minute single device execution, which the remote
+    # TPU worker kills mid-run ("TPU worker process crashed or restarted",
+    # observed twice at the first pixel training block). 0 disables chunking.
+    epoch_chunk_updates: int = 256
     num_parallel_envs: int = 6
     num_eval_episodes: int = 10
     # Reverse-diffusion steps used at collection time (reference entry point

@@ -259,6 +259,34 @@ def test_train_epoch_fused_scan():
         assert np.isfinite(float(v)), f"non-finite {k}"
 
 
+def test_train_epoch_chunked_dispatch():
+    """A block larger than epoch_chunk_updates is split into near-equal scan
+    dispatches (bounding single device execution time); state.step still
+    advances by the full count and metrics are the weighted mean."""
+    from active_inference_diffusion_tpu.data.replay import DeviceReplayBuffer
+
+    cfg, tcfg = tiny_config()
+    tcfg.epoch_chunk_updates = 3
+    agent = DiffusionStateAgent(5, 2, cfg, tcfg)
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+
+    replay = DeviceReplayBuffer(64, (5,), 2)
+    batch = make_batch(jax.random.PRNGKey(1), b=32)
+    replay.add_batch(
+        batch["observations"], batch["actions"], batch["rewards"],
+        batch["next_observations"], batch["dones"],
+    )
+
+    # 7 updates with cap 3 -> chunks [3, 2, 2] (near-equal, at most 2 sizes)
+    new_state, metrics = agent.train_epoch(
+        state, replay.state, jax.random.PRNGKey(2), 7
+    )
+    assert int(new_state.step) == 7
+    assert agent.total_steps == 7
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"non-finite {k}"
+
+
 def test_deterministic_act_clipped():
     """Regression: deterministic eval actions must be clipped to [-1, 1] —
     the unsquashed policy head can emit large means early in training, and
