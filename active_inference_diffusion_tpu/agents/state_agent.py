@@ -370,6 +370,15 @@ class DiffusionStateAgent(BaseAgent):
             terms = core.elbo_terms(
                 p, elbo_key, enc_obs_l, norm_rewards, lat_l,
                 state.time_importance, train=True,
+                # Corrected mode: encoder features as recon TARGET are
+                # stop-gradiented (anti-collapse); conditioning and the
+                # contrastive loss still carry encoder gradients.
+                recon_target=(
+                    jax.lax.stop_gradient(enc_obs_l)
+                    if core.is_pixel
+                    and cfg.semantics.pixel_recon_target_stopgrad
+                    else None
+                ),
             )
             score_loss = core.assemble_score_loss(terms)
 

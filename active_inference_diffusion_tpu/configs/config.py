@@ -83,6 +83,15 @@ class SemanticsConfig:
       reference (the EFE is never used for selection, :501-510) but
       behavior-affecting in ``act_planned``; corrected uses -1 (info-seeking,
       the canonical p(a) ∝ exp(-G) rule).
+    - ``pixel_recon_target_stopgrad``: the reference's pixel ELBO uses the
+      live encoder features as the reconstruction TARGET with encoder
+      gradients flowing through the target (reference pixel_agent.py:291-292,
+      317-333) — the encoder is then rewarded for collapsing to constant
+      features (recon -> 0 trivially, InfoNCE pinned at chance = ln batch;
+      observed empirically at the reference pixel config). corrected
+      stop-gradients the target: the decoder still learns to reconstruct
+      features, while encoder gradients arrive only through score-network
+      conditioning and the contrastive loss.
     """
 
     mode: str = "corrected"  # "corrected" | "faithful"
@@ -105,6 +114,10 @@ class SemanticsConfig:
 
     @property
     def deterministic_eval(self) -> bool:
+        return self.mode != "faithful"
+
+    @property
+    def pixel_recon_target_stopgrad(self) -> bool:
         return self.mode != "faithful"
 
 

@@ -896,11 +896,19 @@ class DiffusionActiveInference:
         latents: jnp.ndarray,
         time_importance: jnp.ndarray,
         train: bool = True,
+        recon_target: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Compute all ELBO components once; callers assemble per-group losses.
 
         Returns a dict with scalar terms plus ``per_sample_score_losses`` and
         the sampled times ``t`` (for the importance-sampler update).
+
+        ``recon_target`` overrides the reconstruction target (default:
+        ``observations``). Pixel agents pass a stop-gradient copy of the
+        encoded features in corrected mode
+        (``SemanticsConfig.pixel_recon_target_stopgrad``): with gradients
+        flowing through the target, the encoder is rewarded for collapsing
+        to constant features (reference pixel_agent.py:317-333 quirk).
         """
         batch_size = observations.shape[0]
         t_key, noise_key, prior_key, drop1, drop2 = jax.random.split(key, 5)
@@ -913,7 +921,8 @@ class DiffusionActiveInference:
             train=train,
             dropout_key=drop1,
         )
-        reconstruction_loss = jnp.mean((decoded - observations) ** 2)
+        target = observations if recon_target is None else recon_target
+        reconstruction_loss = jnp.mean((decoded - target) ** 2)
 
         # Importance-sampled continuous time (reference :571-577)
         t = importance_sample_time(time_importance, t_key, batch_size)

@@ -237,3 +237,44 @@ def test_pixel_agent_imagined_mode_with_stabilizers():
         assert np.isfinite(float(metrics[name])), name
     assert float(new_state.log_alpha) != float(state.log_alpha)
     assert float(new_state.return_scale) != float(state.return_scale)
+
+
+def test_pixel_recon_target_stopgrad_semantics(pixel_agent_and_state):
+    """Corrected mode stop-gradients the pixel ELBO reconstruction TARGET:
+    the recon term alone must carry NO encoder gradient (the collapse
+    incentive — constant features give recon=0 and chance-level InfoNCE —
+    observed at the reference pixel config). Faithful mode keeps the
+    reference's through-the-target gradient (pixel_agent.py:317-333)."""
+    agent, state = pixel_agent_and_state
+    batch = _pixel_batch(jax.random.PRNGKey(7))
+    latents = jax.random.normal(jax.random.PRNGKey(8), (4, 8))
+    rewards = batch["rewards"]
+
+    def recon_term(enc_params, stopgrad_target: bool):
+        p = dict(state.params)
+        p["encoder"] = enc_params
+        enc_obs = agent._apply_encoder(
+            p, batch["observations"], None, augment=False, train=False
+        )
+        terms = agent.core.elbo_terms(
+            p, jax.random.PRNGKey(9), enc_obs, rewards, latents,
+            state.time_importance, train=False,
+            recon_target=(
+                jax.lax.stop_gradient(enc_obs) if stopgrad_target else None
+            ),
+        )
+        return terms["reconstruction_loss"]
+
+    g_corrected = jax.grad(recon_term)(state.params["encoder"], True)
+    g_faithful = jax.grad(recon_term)(state.params["encoder"], False)
+    norm = lambda t: sum(
+        float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(t)
+    )
+    assert norm(g_corrected) == 0.0
+    assert norm(g_faithful) > 0.0
+
+    # and the semantics property resolves as documented
+    from active_inference_diffusion_tpu.configs.config import SemanticsConfig
+
+    assert SemanticsConfig(mode="corrected").pixel_recon_target_stopgrad
+    assert not SemanticsConfig(mode="faithful").pixel_recon_target_stopgrad
