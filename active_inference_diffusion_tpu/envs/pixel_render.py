@@ -1,0 +1,106 @@
+"""On-device pixel environments: pure-JAX rasterization of analytic envs.
+
+No reference counterpart — the reference renders pixels on the HOST through
+the MuJoCo renderer + PIL resize (reference: envs/pixel_wrappers.py:101-204),
+capping pixel collection at the host render rate (~8-17 env-steps/s here).
+Rendering the observation *inside* the jitted program keeps the whole
+collect-train loop on device: the rasterizer is a few thousand fused VPU ops
+per frame, vmapped over envs, so pixel agents train from thousands of
+on-device env steps per second through ``fused_collect``
+(envs/jax_envs.py:269).
+
+The raster model is deliberately simple (distance-field strokes on a uint8
+canvas): the point is an *informative* 84x84x3 observation with exact
+Pendulum-v1 physics underneath, frame-stacked so velocity is visible —
+the same observation contract as ``make_pixel_mujoco`` (84x84, stack 3,
+channels-first uint8).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .jax_envs import EnvState, Pendulum
+
+
+def _segment_distance(
+    yy: jnp.ndarray, xx: jnp.ndarray,
+    p0: jnp.ndarray, p1: jnp.ndarray,
+) -> jnp.ndarray:
+    """Distance from every pixel (yy, xx) to the segment p0->p1 (x, y)."""
+    d = p1 - p0
+    len_sq = jnp.sum(d**2) + 1e-8
+    t = ((xx - p0[0]) * d[0] + (yy - p0[1]) * d[1]) / len_sq
+    t = jnp.clip(t, 0.0, 1.0)
+    cx = p0[0] + t * d[0]
+    cy = p0[1] + t * d[1]
+    return jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+
+
+class PendulumPixels(Pendulum):
+    """Pendulum-v1 with on-device rendered pixel observations.
+
+    Physics/reward/termination are inherited (exact Gymnasium Pendulum-v1
+    semantics, cross-validated in tests/test_jax_envs.py); the observation is
+    a (frame_stack*3, H, W) uint8 channels-first stack of rasterized frames —
+    the layout ``DiffusionPixelAgent._to_nhwc_float`` consumes. theta=0
+    renders the rod pointing UP (the Gymnasium screen convention).
+    """
+
+    size: int = 84
+    frame_stack: int = 3
+
+    def __init__(self, size: int = 84, frame_stack: int = 3):
+        self.size = size
+        self.frame_stack = frame_stack
+        self.obs_shape = (frame_stack * 3, size, size)
+        ys = jnp.arange(size, dtype=jnp.float32)
+        self._yy, self._xx = jnp.meshgrid(ys, ys, indexing="ij")
+        self._center = jnp.array([size / 2.0, size / 2.0])
+        self._rod_len = 0.36 * size
+        self._rod_width = 0.05 * size
+        # Gymnasium's rod/background palette (salmon rod, white bg, dark axle)
+        self._rod_color = jnp.array([204.0, 77.0, 77.0])
+        self._axle_color = jnp.array([40.0, 40.0, 40.0])
+
+    # -- rasterizer ------------------------------------------------------
+
+    def render_frame(self, theta: jnp.ndarray) -> jnp.ndarray:
+        """(3, H, W) uint8 frame for a pole angle (0 = up, + = ccw)."""
+        # screen coords: x right, y down; theta=0 points up
+        tip = self._center + self._rod_len * jnp.stack(
+            [jnp.sin(theta), -jnp.cos(theta)]
+        )
+        dist = _segment_distance(self._yy, self._xx, self._center, tip)
+        # soft 1px antialiased edge
+        rod_alpha = jnp.clip(self._rod_width / 2.0 + 0.5 - dist, 0.0, 1.0)
+        axle_dist = jnp.sqrt(
+            (self._xx - self._center[0]) ** 2 + (self._yy - self._center[1]) ** 2
+        )
+        axle_alpha = jnp.clip(self._rod_width / 3.0 + 0.5 - axle_dist, 0.0, 1.0)
+
+        canvas = jnp.full((self.size, self.size, 3), 255.0)
+        canvas = (
+            canvas * (1.0 - rod_alpha)[..., None]
+            + self._rod_color * rod_alpha[..., None]
+        )
+        canvas = (
+            canvas * (1.0 - axle_alpha)[..., None]
+            + self._axle_color * axle_alpha[..., None]
+        )
+        return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)  # (3, H, W)
+
+    # -- env interface ---------------------------------------------------
+
+    def reset(self, key: jax.Array) -> EnvState:
+        state = super().reset(key)
+        frame = self.render_frame(state.physics[0])
+        stack = jnp.tile(frame, (self.frame_stack, 1, 1))
+        return state.replace(obs=stack)
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        next_state = super().step(state, action)
+        frame = self.render_frame(next_state.physics[0])
+        stack = jnp.concatenate([state.obs[3:], frame], axis=0)
+        return next_state.replace(obs=stack)

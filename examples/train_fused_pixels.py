@@ -1,0 +1,211 @@
+"""Fully fused on-device PIXEL training: rasterized env + conv encoder +
+diffusion beliefs + policy, all inside jitted programs.
+
+The reference's pixel pipeline is bottlenecked by host MuJoCo rendering
+(~8-17 env-steps/s for 6 envs here; reference envs/pixel_wrappers.py renders
+per step on CPU workers). With the observation rasterized on device
+(envs/pixel_render.PendulumPixels), collection is a single scan program —
+pixel env steps at device rate, not render rate.
+
+Usage:
+  python examples/train_fused_pixels.py --num-envs 32 --iterations 40
+"""
+
+import argparse
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-envs", type=int, default=32)
+    parser.add_argument("--steps-per-iter", type=int, default=16)
+    parser.add_argument("--updates-per-iter", type=int, default=32)
+    parser.add_argument("--iterations", type=int, default=40)
+    parser.add_argument("--buffer-size", type=int, default=15_000)
+    parser.add_argument("--eval-envs", type=int, default=16)
+    parser.add_argument("--eval-every", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--latent-dim", type=int, default=16)
+    parser.add_argument("--hidden-dim", type=int, default=64)
+    parser.add_argument("--learning-starts", type=int, default=1_000)
+    parser.add_argument("--size", type=int, default=84, help="render resolution")
+    parser.add_argument("--frame-stack", type=int, default=3)
+    parser.add_argument("--batch-size", type=int, default=128)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from active_inference_diffusion_tpu.agents.pixel_agent import DiffusionPixelAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        PixelObservationConfig,
+        TrainingConfig,
+    )
+    from active_inference_diffusion_tpu.data.replay import DeviceReplayBuffer
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        flatten_transitions,
+        fused_collect,
+        fused_eval,
+    )
+    from active_inference_diffusion_tpu.models.policy import sample_action
+    from active_inference_diffusion_tpu.utils.logger import Logger
+
+    from active_inference_diffusion_tpu.envs.pixel_render import PendulumPixels
+
+    env = PendulumPixels(size=args.size, frame_stack=args.frame_stack)
+    config = ActiveInferenceConfig(
+        action_dim=env.action_dim,
+        latent_dim=args.latent_dim,
+        hidden_dim=args.hidden_dim,
+        score_num_layers=2,
+        batch_size=args.batch_size,
+        efe_horizon=3,
+        num_efe_trajectories=4,
+        pixel_observation=True,
+        posterior_beliefs=True,
+        act_from_posterior=True,
+        imagined_value_targets=True,
+        imagine_deterministic=True,
+        auto_entropy=True,
+        diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+    )
+    pixel_config = PixelObservationConfig(
+        image_shape=(3, env.size, env.size),
+        frame_stack=env.frame_stack,
+        encoder_feature_dim=args.latent_dim,
+    )
+    training_config = TrainingConfig(
+        buffer_size=args.buffer_size, collect_diffusion_steps=5
+    )
+    agent = DiffusionPixelAgent(
+        obs_shape=env.obs_shape, action_dim=env.action_dim,
+        config=config, training_config=training_config,
+        pixel_config=pixel_config,
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(args.seed))
+
+    replay = DeviceReplayBuffer(
+        args.buffer_size, env.obs_shape, env.action_dim, obs_dtype=jnp.uint8
+    )
+
+    act_scale = env.action_high
+
+    def policy_fn_builder(params):
+        def policy_fn(obs, key):
+            enc_key, belief_key, act_key = jax.random.split(key, 3)
+            feats = agent._apply_encoder(
+                params, obs, enc_key, augment=False, train=False
+            )
+            if config.act_from_posterior:
+                latent = agent.core.sample_posterior(
+                    params["posterior"], belief_key, feats,
+                    deterministic=config.deterministic_beliefs,
+                )
+            else:
+                latent = agent.core.generate_beliefs(
+                    params, belief_key, feats, compute_reconstruction=False,
+                    deterministic=config.deterministic_beliefs,
+                ).latent
+            dist = agent.core.apply_policy(params["policy"], latent)
+            action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)
+            return jnp.clip(action, -1.0, 1.0) * act_scale
+
+        return policy_fn
+
+    @jax.jit
+    def collect_and_store(params, replay_state, env_states, key):
+        transitions, env_states = fused_collect(
+            env, policy_fn_builder(params), key,
+            args.num_envs, args.steps_per_iter, env_states=env_states,
+        )
+        flat = flatten_transitions(transitions)
+        from active_inference_diffusion_tpu.data.replay import replay_add_batch
+
+        replay_state = replay_add_batch(
+            replay_state, flat.observations, flat.actions, flat.rewards,
+            flat.next_observations, flat.terminateds,
+        )
+        return replay_state, env_states, jnp.mean(flat.rewards)
+
+    @jax.jit
+    def eval_return(params, key):
+        def eval_policy(obs, k):
+            enc_key, belief_key = jax.random.split(k)
+            feats = agent._apply_encoder(
+                params, obs, enc_key, augment=False, train=False
+            )
+            if config.act_from_posterior:
+                latent = agent.core.sample_posterior(
+                    params["posterior"], belief_key, feats, deterministic=True
+                )
+            else:
+                latent = agent.core.generate_beliefs(
+                    params, belief_key, feats, compute_reconstruction=False,
+                    deterministic=True,
+                ).latent
+            dist = agent.core.apply_policy(params["policy"], latent)
+            action, _ = sample_action(
+                dist, None, deterministic=True, squash=agent.core.policy_squash
+            )
+            return jnp.clip(action, -1.0, 1.0) * act_scale
+
+        return fused_eval(env, eval_policy, key, args.eval_envs)
+
+    logger = Logger(use_wandb=False, experiment_name="fused_pixels_Pendulum")
+    key = jax.random.PRNGKey(args.seed + 1)
+    env_states = None
+    total_steps = 0
+
+    for it in range(args.iterations):
+        t0 = time.perf_counter()
+        key, ckey = jax.random.split(key)
+        replay.state, env_states, mean_reward = collect_and_store(
+            state.params, replay.state, env_states, ckey
+        )
+        total_steps += args.num_envs * args.steps_per_iter
+
+        train_str = ""
+        if total_steps >= args.learning_starts:
+            key, ekey = jax.random.split(key)
+            state, metrics = agent.train_epoch(
+                state, replay.state, ekey, args.updates_per_iter
+            )
+            train_str = (
+                f" recon={float(metrics['reconstruction_loss']):.4f}"
+                f" contr={float(metrics['contrastive_loss']):.4f}"
+            )
+
+        dt = time.perf_counter() - t0
+        steps_s = args.num_envs * args.steps_per_iter / dt
+        logger.log(
+            {
+                "fused/mean_step_reward": float(mean_reward),
+                "fused/env_steps_per_sec": steps_s,
+            },
+            total_steps,
+        )
+
+        eval_str = ""
+        if args.eval_every and (
+            it % args.eval_every == 0 or it == args.iterations - 1
+        ):
+            key, evkey = jax.random.split(key)
+            ret = float(eval_return(state.params, evkey))
+            logger.log({"eval/episode_reward_mean": ret}, total_steps)
+            eval_str = f" eval={ret:.1f}"
+
+        if it % 5 == 0 or it == args.iterations - 1 or eval_str:
+            print(
+                f"[iter {it}] steps={total_steps} "
+                f"mean_step_reward={float(mean_reward):.3f} "
+                f"steps/s={steps_s:.0f}{train_str}{eval_str}",
+                flush=True,
+            )
+
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

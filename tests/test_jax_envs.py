@@ -180,3 +180,137 @@ def test_fused_eval_masks_after_done():
     # Pendulum per-step reward is in [-16.28, 0]
     assert -16.28 * env.max_episode_steps <= r_full <= 0.0
     np.testing.assert_allclose(r_full, r_over, rtol=1e-6)
+
+
+def test_pendulum_pixels_render_and_step():
+    """On-device rasterized Pendulum: uint8 channels-first frame stack,
+    rod pixels present and angle-dependent, stack shifts one frame per step,
+    physics identical to the state-space Pendulum."""
+    from active_inference_diffusion_tpu.envs.pixel_render import PendulumPixels
+
+    env = PendulumPixels(size=32, frame_stack=2)
+    assert env.obs_shape == (6, 32, 32)
+
+    f_up = np.asarray(env.render_frame(jnp.zeros(())))
+    f_down = np.asarray(env.render_frame(jnp.full((), np.pi)))
+    assert f_up.shape == (3, 32, 32) and f_up.dtype == np.uint8
+    # rod drawn: non-background pixels exist, and the image depends on theta
+    assert (f_up < 250).any()
+    assert not np.array_equal(f_up, f_down)
+    # theta=0 points UP: rod rows above center differ from background in f_up
+    assert (f_up[:, :12, :] < 250).any()
+    assert not (f_down[:, :12, 14:18] < 250).any()
+
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (6, 32, 32) and state.obs.dtype == jnp.uint8
+    # fresh reset: both stacked frames identical
+    np.testing.assert_array_equal(
+        np.asarray(state.obs[:3]), np.asarray(state.obs[3:])
+    )
+
+    nxt = env.step(state, jnp.array([1.0]))
+    # stack shifted: new first frame == old last frame
+    np.testing.assert_array_equal(
+        np.asarray(nxt.obs[:3]), np.asarray(state.obs[3:])
+    )
+    # physics matches the state-space Pendulum exactly
+    ref = Pendulum().step(state.replace(obs=state.physics), jnp.array([1.0]))
+    np.testing.assert_allclose(
+        np.asarray(nxt.physics), np.asarray(ref.physics), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(nxt.reward), float(ref.reward), rtol=1e-6)
+
+
+def test_pendulum_pixels_fused_collect():
+    """fused_collect runs the pixel env end-to-end on a vmapped batch with
+    uint8 image observations threading through Transitions."""
+    from active_inference_diffusion_tpu.envs.jax_envs import fused_collect
+    from active_inference_diffusion_tpu.envs.pixel_render import PendulumPixels
+
+    env = PendulumPixels(size=16, frame_stack=2)
+
+    def rand_policy(obs, key):
+        assert obs.dtype == jnp.uint8
+        return jax.random.uniform(
+            key, (obs.shape[0], 1), minval=-2.0, maxval=2.0
+        )
+
+    transitions, final_states = jax.jit(
+        lambda k: fused_collect(env, rand_policy, k, num_envs=3, num_steps=4)
+    )(jax.random.PRNGKey(0))
+    assert transitions.observations.shape == (4, 3, 6, 16, 16)
+    assert transitions.observations.dtype == jnp.uint8
+    assert transitions.rewards.shape == (4, 3)
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
+    assert final_states.obs.shape == (3, 6, 16, 16)
+
+
+def test_fused_pixel_training_slice():
+    """Integration: fused on-device pixel collection feeding the pixel
+    agent's train_epoch — the wiring examples/train_fused_pixels.py uses
+    (rasterized env -> uint8 device replay -> chunked epoch), at tiny size."""
+    from active_inference_diffusion_tpu.agents.pixel_agent import DiffusionPixelAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        PixelObservationConfig,
+        TrainingConfig,
+    )
+    from active_inference_diffusion_tpu.data.replay import (
+        DeviceReplayBuffer,
+        replay_add_batch,
+    )
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        flatten_transitions,
+        fused_collect,
+    )
+    from active_inference_diffusion_tpu.envs.pixel_render import PendulumPixels
+    from active_inference_diffusion_tpu.models.policy import sample_action
+
+    env = PendulumPixels(size=16, frame_stack=2)
+    cfg = ActiveInferenceConfig(
+        action_dim=1, latent_dim=8, hidden_dim=32, score_num_layers=1,
+        batch_size=8, efe_horizon=2, num_efe_trajectories=2,
+        num_ambiguity_samples=2, pixel_observation=True,
+        posterior_beliefs=True, act_from_posterior=True,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    pcfg = PixelObservationConfig(
+        image_shape=(3, 16, 16), frame_stack=2, encoder_feature_dim=8,
+        random_shift_pad=2,
+    )
+    tcfg = TrainingConfig(buffer_size=64, collect_diffusion_steps=2)
+    agent = DiffusionPixelAgent(
+        obs_shape=env.obs_shape, action_dim=1, config=cfg,
+        training_config=tcfg, pixel_config=pcfg,
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    replay = DeviceReplayBuffer(64, env.obs_shape, 1, obs_dtype=jnp.uint8)
+
+    def policy_fn(obs, key):
+        enc_key, belief_key, act_key = jax.random.split(key, 3)
+        feats = agent._apply_encoder(
+            state.params, obs, enc_key, augment=False, train=False
+        )
+        latent = agent.core.sample_posterior(
+            state.params["posterior"], belief_key, feats, deterministic=False
+        )
+        dist = agent.core.apply_policy(state.params["policy"], latent)
+        action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)
+        return jnp.clip(action, -1.0, 1.0) * env.action_high
+
+    transitions, _ = jax.jit(
+        lambda k: fused_collect(env, policy_fn, k, num_envs=4, num_steps=8)
+    )(jax.random.PRNGKey(1))
+    flat = flatten_transitions(transitions)
+    replay.state = replay_add_batch(
+        replay.state, flat.observations, flat.actions, flat.rewards,
+        flat.next_observations, flat.terminateds,
+    )
+    new_state, metrics = agent.train_epoch(
+        state, replay.state, jax.random.PRNGKey(2), 2
+    )
+    assert int(new_state.step) == 2
+    for k in ("reconstruction_loss", "contrastive_loss", "policy_loss"):
+        assert np.isfinite(float(metrics[k])), k
