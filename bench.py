@@ -404,6 +404,84 @@ def main():
     except Exception as e:
         log(f"fused collect bench skipped: {type(e).__name__}: {e}")
 
+    # ================= fused on-device PIXEL collection ================
+    # The observation is rasterized inside the jitted rollout
+    # (envs/pixel_render.py): 84x84x3 uint8, frame-stack 3, conv-encoded
+    # per control step. The reference's pixel collection is host-rendered
+    # (MuJoCo + PIL per step, reference envs/pixel_wrappers.py:101-204)
+    # and tops out at O(10) env steps/s on this host.
+    try:
+        from active_inference_diffusion_tpu.agents.pixel_agent import (
+            DiffusionPixelAgent,
+        )
+        from active_inference_diffusion_tpu.configs.config import (
+            PixelObservationConfig,
+        )
+        from active_inference_diffusion_tpu.envs.pixel_render import (
+            PendulumPixels,
+        )
+
+        penv = PendulumPixels(size=84, frame_stack=3)
+        pconfig = ActiveInferenceConfig(
+            action_dim=penv.action_dim,
+            latent_dim=16, hidden_dim=64, score_num_layers=2,
+            pixel_observation=True,
+            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+        )
+        pconfig.tpu.donate_buffers = False
+        ppix = PixelObservationConfig(
+            image_shape=(3, penv.size, penv.size),
+            frame_stack=penv.frame_stack,
+            encoder_feature_dim=16,
+        )
+        pagent = DiffusionPixelAgent(
+            obs_shape=penv.obs_shape, action_dim=penv.action_dim,
+            config=pconfig, training_config=TrainingConfig(),
+            pixel_config=ppix,
+        )
+        pparams = pagent.init_train_state(jax.random.PRNGKey(11)).params
+        pn_envs, pn_steps = 128, 32
+
+        def pixel_policy_fn(obs_b, k):
+            enc_key, belief_key, act_key = jax.random.split(k, 3)
+            feats = pagent._apply_encoder(
+                pparams, obs_b, enc_key, augment=False, train=False
+            )
+            belief = pagent.core.generate_beliefs(
+                pparams, belief_key, feats, compute_reconstruction=False
+            )
+            dist = pagent.core.apply_policy(pparams["policy"], belief.latent)
+            return jnp.clip(dist.sample(act_key), -1.0, 1.0) * penv.action_high
+
+        @jax.jit
+        def pixel_collect(key, env_states):
+            t, s = fused_collect(
+                penv, pixel_policy_fn, key, pn_envs, pn_steps,
+                env_states=env_states,
+            )
+            return flatten_transitions(t).rewards, s
+
+        pkey = jax.random.PRNGKey(12)
+        prewards, pstates = pixel_collect(pkey, None)
+        prewards.block_until_ready()
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            pkey, sub = jax.random.split(pkey)
+            prewards, pstates = pixel_collect(sub, pstates)
+        prewards.block_until_ready()
+        p_elapsed = time.perf_counter() - t0
+        pixel_sps = reps * pn_envs * pn_steps / p_elapsed
+        log(
+            f"fused on-device PIXEL collect: {pixel_sps:,.0f} env steps/s "
+            f"(84x84x3 stack-3 uint8 rasterized+encoded on device, "
+            f"{pn_envs} envs, K=10 belief sweep per step, 1 chip; "
+            f"reference host render is O(10)/s)"
+        )
+        detail["fused_pixel_collect_env_steps_per_sec"] = round(pixel_sps)
+    except Exception as e:
+        log(f"fused pixel collect bench skipped: {type(e).__name__}: {e}")
+
     # --- result --------------------------------------------------------
     baseline = get_baseline()
     vs = denoiser_steps_per_sec / baseline["denoiser_steps_per_sec"]
