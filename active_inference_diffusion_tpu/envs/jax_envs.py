@@ -236,11 +236,12 @@ ENV_REGISTRY = {
 def make_jax_env(name: str) -> JaxEnv:
     if name in ENV_REGISTRY:
         return ENV_REGISTRY[name]()
-    if name == "PendulumPixels-v0":
+    if name in ("PendulumPixels-v0", "ReacherPixels-v0"):
         # lazy import (pixel_render imports this module)
-        from .pixel_render import PendulumPixels
+        from .pixel_render import PendulumPixels, ReacherPixels
 
-        return PendulumPixels()
+        cls = PendulumPixels if name == "PendulumPixels-v0" else ReacherPixels
+        return cls()
     # MuJoCo tasks route to the MJX adapter (exact Gymnasium -v4 semantics,
     # envs/mujoco_tasks.py); raises a clear ImportError when mujoco-mjx is
     # not installed.
@@ -252,7 +253,7 @@ def make_jax_env(name: str) -> JaxEnv:
         return MJXEnv(name)
     raise ValueError(
         f"Unknown JAX env {name}; have "
-        f"{sorted(ENV_REGISTRY) + ['PendulumPixels-v0'] + sorted(TASK_SPECS)}"
+        f"{sorted(ENV_REGISTRY) + ['PendulumPixels-v0', 'ReacherPixels-v0'] + sorted(TASK_SPECS)}"
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .jax_envs import EnvState, Pendulum
+from .jax_envs import EnvState, Pendulum, Reacher2Link
 
 
 def _segment_distance(
@@ -102,5 +102,71 @@ class PendulumPixels(Pendulum):
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         next_state = super().step(state, action)
         frame = self.render_frame(next_state.physics[0])
+        stack = jnp.concatenate([state.obs[3:], frame], axis=0)
+        return next_state.replace(obs=stack)
+
+
+class ReacherPixels(Reacher2Link):
+    """Planar 2-link reacher with on-device rendered pixel observations.
+
+    The frame shows both links (distinct colors) and the target as a filled
+    dot — a goal-conditioned pixel task: the agent must locate the target
+    in the image, there is no state-side shortcut. Physics/reward inherit
+    from ``Reacher2Link`` (jax_envs.py:179).
+    """
+
+    size: int = 84
+    frame_stack: int = 3
+
+    def __init__(self, size: int = 84, frame_stack: int = 3):
+        self.size = size
+        self.frame_stack = frame_stack
+        self.obs_shape = (frame_stack * 3, size, size)
+        ys = jnp.arange(size, dtype=jnp.float32)
+        self._yy, self._xx = jnp.meshgrid(ys, ys, indexing="ij")
+        self._center = jnp.array([size / 2.0, size / 2.0])
+        # workspace radius 1.0 (two 0.5 links) + margin maps onto the frame
+        self._scale = size / 2.4
+        self._stroke = 0.035 * size
+        self._link1_color = jnp.array([204.0, 77.0, 77.0])
+        self._link2_color = jnp.array([77.0, 77.0, 204.0])
+        self._target_color = jnp.array([60.0, 170.0, 60.0])
+
+    def _to_screen(self, xy: jnp.ndarray) -> jnp.ndarray:
+        """World (x right, y up) -> screen (x right, y down) pixel coords."""
+        return self._center + jnp.stack([xy[0], -xy[1]]) * self._scale
+
+    def render_frame(
+        self, q: jnp.ndarray, target: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(3, H, W) uint8 frame for joint angles q and target position."""
+        elbow = jnp.stack([jnp.cos(q[0]), jnp.sin(q[0])]) * 0.5
+        tip = elbow + jnp.stack([jnp.cos(q[0] + q[1]), jnp.sin(q[0] + q[1])]) * 0.5
+        p0 = self._to_screen(jnp.zeros(2))
+        p1 = self._to_screen(elbow)
+        p2 = self._to_screen(tip)
+        pt = self._to_screen(target)
+
+        half = self._stroke / 2.0 + 0.5
+        a1 = jnp.clip(half - _segment_distance(self._yy, self._xx, p0, p1), 0.0, 1.0)
+        a2 = jnp.clip(half - _segment_distance(self._yy, self._xx, p1, p2), 0.0, 1.0)
+        td = jnp.sqrt((self._xx - pt[0]) ** 2 + (self._yy - pt[1]) ** 2)
+        at = jnp.clip(self._stroke + 0.5 - td, 0.0, 1.0)
+
+        canvas = jnp.full((self.size, self.size, 3), 255.0)
+        canvas = canvas * (1 - at)[..., None] + self._target_color * at[..., None]
+        canvas = canvas * (1 - a1)[..., None] + self._link1_color * a1[..., None]
+        canvas = canvas * (1 - a2)[..., None] + self._link2_color * a2[..., None]
+        return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)
+
+    def reset(self, key: jax.Array) -> EnvState:
+        state = super().reset(key)
+        frame = self.render_frame(state.physics[:2], state.physics[4:6])
+        stack = jnp.tile(frame, (self.frame_stack, 1, 1))
+        return state.replace(obs=stack)
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        next_state = super().step(state, action)
+        frame = self.render_frame(next_state.physics[:2], next_state.physics[4:6])
         stack = jnp.concatenate([state.obs[3:], frame], axis=0)
         return next_state.replace(obs=stack)

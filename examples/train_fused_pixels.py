@@ -17,6 +17,10 @@ import time
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--env", default="PendulumPixels-v0",
+        choices=["PendulumPixels-v0", "ReacherPixels-v0"],
+    )
     parser.add_argument("--num-envs", type=int, default=32)
     parser.add_argument("--steps-per-iter", type=int, default=16)
     parser.add_argument("--updates-per-iter", type=int, default=32)
@@ -52,9 +56,15 @@ def main():
     from active_inference_diffusion_tpu.models.policy import sample_action
     from active_inference_diffusion_tpu.utils.logger import Logger
 
-    from active_inference_diffusion_tpu.envs.pixel_render import PendulumPixels
+    from active_inference_diffusion_tpu.envs.pixel_render import (
+        PendulumPixels,
+        ReacherPixels,
+    )
 
-    env = PendulumPixels(size=args.size, frame_stack=args.frame_stack)
+    env_cls = (
+        PendulumPixels if args.env == "PendulumPixels-v0" else ReacherPixels
+    )
+    env = env_cls(size=args.size, frame_stack=args.frame_stack)
     config = ActiveInferenceConfig(
         action_dim=env.action_dim,
         latent_dim=args.latent_dim,
@@ -153,7 +163,9 @@ def main():
 
         return fused_eval(env, eval_policy, key, args.eval_envs)
 
-    logger = Logger(use_wandb=False, experiment_name="fused_pixels_Pendulum")
+    logger = Logger(
+        use_wandb=False, experiment_name=f"fused_pixels_{args.env.split('-')[0]}"
+    )
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
     total_steps = 0

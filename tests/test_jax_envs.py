@@ -245,6 +245,39 @@ def test_pendulum_pixels_fused_collect():
     assert final_states.obs.shape == (3, 6, 16, 16)
 
 
+def test_reacher_pixels_render_and_step():
+    """Rendered 2-link reacher: links + target drawn, target-position and
+    joint-angle dependent, physics identical to the state-space Reacher."""
+    from active_inference_diffusion_tpu.envs.jax_envs import Reacher2Link
+    from active_inference_diffusion_tpu.envs.pixel_render import ReacherPixels
+
+    env = ReacherPixels(size=32, frame_stack=2)
+    assert env.obs_shape == (6, 32, 32)
+
+    q = jnp.zeros(2)
+    f_a = np.asarray(env.render_frame(q, jnp.array([0.0, 0.8])))
+    f_b = np.asarray(env.render_frame(q, jnp.array([0.0, -0.8])))
+    f_c = np.asarray(env.render_frame(jnp.array([np.pi / 2, 0.0]), jnp.array([0.0, 0.8])))
+    assert f_a.shape == (3, 32, 32) and f_a.dtype == np.uint8
+    # image depends on target position and on joint angles
+    assert not np.array_equal(f_a, f_b)
+    assert not np.array_equal(f_a, f_c)
+    # target dot is green-dominant somewhere: G channel > R channel
+    assert (f_a[1].astype(int) - f_a[0].astype(int) > 50).any()
+
+    state = env.reset(jax.random.PRNGKey(3))
+    assert state.obs.shape == (6, 32, 32) and state.obs.dtype == jnp.uint8
+    nxt = env.step(state, jnp.array([0.5, -0.5]))
+    np.testing.assert_array_equal(np.asarray(nxt.obs[:3]), np.asarray(state.obs[3:]))
+    ref = Reacher2Link().step(
+        state.replace(obs=state.physics), jnp.array([0.5, -0.5])
+    )
+    np.testing.assert_allclose(
+        np.asarray(nxt.physics), np.asarray(ref.physics), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(nxt.reward), float(ref.reward), rtol=1e-6)
+
+
 def test_fused_pixel_training_slice():
     """Integration: fused on-device pixel collection feeding the pixel
     agent's train_epoch — the wiring examples/train_fused_pixels.py uses
