@@ -98,6 +98,11 @@ class DiffusionStateAgent(BaseAgent):
                 ),
                 num_steps=num_steps,
                 epistemic_running_mean=epistemic_running_mean,
+                # Pixel agents chunk the planning-EFE's epistemic decoder
+                # probes by batch (same OOM guard as the train step).
+                probe_chunk_rows=self._epistemic_probe_chunk(
+                    features.shape[0] if features.ndim > 1 else 1
+                ),
             )
         else:
             action, _ = self.core.act(

@@ -305,10 +305,17 @@ def main():
                         state, replay.state, sub, num_updates
                     )
                 else:
+                    # ONE device->host key readback for the whole block; the
+                    # per-update sample seeds are host integers (a JAX key per
+                    # update would sync through the tunnel every iteration).
+                    sample_key, sub = jax.random.split(sample_key)
+                    block = np.asarray(jax.random.key_data(sub))
+                    seeds = np.random.SeedSequence(
+                        block.astype(np.uint64).ravel().tolist()
+                    ).generate_state(num_updates)
                     metrics_acc = []
-                    for _ in range(num_updates):
-                        sample_key, sub = jax.random.split(sample_key)
-                        batch = replay.sample(sub, config.batch_size)
+                    for i in range(num_updates):
+                        batch = replay.sample(int(seeds[i]), config.batch_size)
                         state, metrics = agent.train_step(state, batch)
                         metrics_acc.append(metrics)
                     mean_metrics = jax.tree_util.tree_map(

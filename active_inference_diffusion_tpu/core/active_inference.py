@@ -584,6 +584,7 @@ class DiffusionActiveInference:
         num_trajectories: Optional[int] = None,
         include_epistemic: Optional[bool] = None,
         first_action: Optional[jnp.ndarray] = None,
+        probe_chunk_rows: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """G(pi) accumulated over imagined latent trajectories.
 
@@ -677,6 +678,10 @@ class DiffusionActiveInference:
                     rm,
                     num_samples=cfg.num_ambiguity_samples,
                     train=False,
+                    # Pixel agents chunk the ConvDecoder probe expansion
+                    # (ntk x samples x T*B rows would OOM the v5e; see
+                    # agents/pixel_agent._epistemic_probe_chunk).
+                    probe_chunk_rows=probe_chunk_rows,
                 )
                 epistemic = jax.lax.stop_gradient(result.value)
                 rm = result.running_mean
@@ -1194,6 +1199,7 @@ class DiffusionActiveInference:
         num_steps: Optional[int] = None,
         preference_temperature: Optional[jnp.ndarray] = None,
         epistemic_running_mean: Optional[jnp.ndarray] = None,
+        probe_chunk_rows: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """EFE-based action selection (active-inference decision rule).
 
@@ -1272,6 +1278,7 @@ class DiffusionActiveInference:
                 params, latent, efe_key, pref, first_action=action,
                 epistemic_running_mean=rm0,
                 include_epistemic=cfg.epistemic_weight != 0.0,
+                probe_chunk_rows=probe_chunk_rows,
             )
             return efe  # (B,)
 

@@ -237,31 +237,53 @@ def compute_jacobian_probes(
     vmapped megabatch. Pixel agents need this: probing the 84x84 ConvDecoder
     at the full ntk x num_samples x batch expansion materializes >4 GB conv
     activations per layer (measured OOM on a 16 GB v5e at batch 128); with
-    chunking the peak working set is one block's decode. Must divide the
-    row count; None (states) keeps the single fused vmap.
+    chunking the peak working set is one block's decode. A non-dividing
+    value is rounded DOWN to the largest divisor of the row count (a silent
+    fallback to the unchunked megabatch would reintroduce the OOM this
+    exists to stop); None (states) keeps the single fused vmap.
     """
     dirs = jax.random.normal(key, (ntk_samples,) + z.shape, dtype=z.dtype)
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+
+    n = z.shape[0]
+    if chunk_rows is not None:
+        chunk_rows = max(
+            d for d in range(1, min(chunk_rows, n) + 1) if n % d == 0
+        )
+        blocks = n // chunk_rows
+        z_blocks = z.reshape(blocks, chunk_rows, z.shape[-1])
 
     if use_finite_differences:
         eps = perturbation_scale
         f_z = decoder_fn(z)
 
-        def probe_fd(d):
-            return (decoder_fn(z + d * eps) - f_z) / eps
+        if chunk_rows is None:
 
-        return jax.vmap(probe_fd)(dirs)
+            def probe_fd(d):
+                return (decoder_fn(z + d * eps) - f_z) / eps
+
+            return jax.vmap(probe_fd)(dirs)
+
+        f_blocks = f_z.reshape((blocks, chunk_rows) + f_z.shape[1:])
+
+        def probe_dir_fd(d):
+            d_blocks = d.reshape(blocks, chunk_rows, z.shape[-1])
+
+            def one_block_fd(args):
+                zb, db, fb = args
+                return (decoder_fn(zb + db * eps) - fb) / eps
+
+            out = jax.lax.map(one_block_fd, (z_blocks, d_blocks, f_blocks))
+            return out.reshape((n,) + out.shape[2:])
+
+        return jax.lax.map(probe_dir_fd, dirs)
 
     def probe(d):
         _, jvp_out = jax.jvp(decoder_fn, (z,), (d,))
         return jvp_out
 
-    if chunk_rows is None or z.shape[0] % chunk_rows != 0:
+    if chunk_rows is None:
         return jax.vmap(probe)(dirs)
-
-    n = z.shape[0]
-    blocks = n // chunk_rows
-    z_blocks = z.reshape(blocks, chunk_rows, z.shape[-1])
 
     def probe_dir(d):
         d_blocks = d.reshape(blocks, chunk_rows, z.shape[-1])

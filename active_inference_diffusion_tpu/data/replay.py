@@ -142,8 +142,17 @@ def _sample_indices(
 ) -> np.ndarray:
     """Uniform sample indices for host buffers, honoring the ``key`` argument
     with the same key discipline as ``DeviceReplayBuffer`` (same key -> same
-    sample). Falls back to the buffer's own generator when ``key`` is None."""
-    if key is not None:
+    sample). Falls back to the buffer's own generator when ``key`` is None.
+
+    ``key`` may be a host integer seed — the cheap path for per-update loops
+    (a JAX key here costs a device->host readback per call, which dominates
+    through a remote-TPU tunnel; cli.py derives one block of host seeds per
+    training iteration instead)."""
+    if key is None:
+        return rng.integers(0, max(size, 1), batch_size)
+    if isinstance(key, (int, np.integer)):
+        rng = np.random.default_rng(int(key))
+    else:
         data = np.asarray(
             jax.random.key_data(key)
             if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key)

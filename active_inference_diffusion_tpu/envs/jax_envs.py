@@ -294,19 +294,40 @@ def fused_collect(
     if env_states is None:
         env_states = jax.vmap(env.reset)(jax.random.split(reset_key, num_envs))
 
-    step_env = jax.vmap(env.step_autoreset)
+    def step_with_true_next_obs(state, action):
+        """step_autoreset, but also return the TRUE successor observation.
+
+        The autoreset-merged state's obs is the FRESH episode's first obs
+        wherever done; storing that as the transition's next_observation
+        would make value targets bootstrap from an unrelated reset state at
+        every time-limit boundary (the host collector stores
+        info['final_observation'] for exactly this reason,
+        parallel/collect.py:122-128)."""
+        nxt = env.step(state, action)
+        reset_key_, carry_key = jax.random.split(nxt.key)
+        fresh = env.reset(reset_key_)
+        merged = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(nxt.done, a, b), fresh, nxt
+        )
+        merged = merged.replace(
+            reward=nxt.reward, done=nxt.done, terminated=nxt.terminated,
+            key=carry_key,
+        )
+        return merged, nxt.obs
+
+    step_env = jax.vmap(step_with_true_next_obs)
 
     def body(carry, step_key):
         states = carry
         obs = states.obs
         act_key, _ = jax.random.split(step_key)
         actions = policy_fn(obs, act_key)
-        next_states = step_env(states, actions)
+        next_states, true_next_obs = step_env(states, actions)
         transition = Transitions(
             observations=obs,
             actions=actions,
             rewards=next_states.reward,
-            next_observations=next_states.obs,
+            next_observations=true_next_obs,
             dones=next_states.done,
             terminateds=next_states.terminated,
         )

@@ -98,6 +98,13 @@ class MJXEnv(JaxEnv):
         )
         self.action_dim = self.model.nu
         self.max_episode_steps = spec.max_episode_steps
+        # Gymnasium's action space is Box(ctrlrange): Humanoid's is ±0.4,
+        # not ±1 — leaving JaxEnv's ±1 default would pay ctrl_cost on the
+        # unclamped action and present a different MDP than gym.make.
+        ctrlrange = self.model.actuator_ctrlrange
+        if ctrlrange.size and (ctrlrange[:, 1] > ctrlrange[:, 0]).all():
+            self.action_low = float(ctrlrange[:, 0].min())
+            self.action_high = float(ctrlrange[:, 1].max())
 
     # -- field extraction ------------------------------------------------
 

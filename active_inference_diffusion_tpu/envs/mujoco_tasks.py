@@ -50,7 +50,7 @@ HumanoidStandup           same obs (376); reward = z/model-timestep
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -107,6 +107,43 @@ def test_fused_collect_shapes_and_autoreset():
     assert transitions2.observations.shape == (n_steps, n_envs, 3)
 
 
+def test_fused_collect_true_next_obs_at_time_limit():
+    """At an episode boundary the stored next_observation must be the TRUE
+    successor of the finishing step (for the value bootstrap), not the
+    autoreset fresh-episode observation — which only seeds the next row."""
+    env = Pendulum()
+    n_envs, n_steps = 2, env.max_episode_steps + 1
+
+    def zero_policy(obs, key):
+        return jnp.zeros((obs.shape[0], 1))
+
+    transitions, _ = jax.jit(
+        lambda k: fused_collect(env, zero_policy, k, n_envs, n_steps)
+    )(jax.random.PRNGKey(5))
+    obs = np.asarray(transitions.observations)
+    nxt = np.asarray(transitions.next_observations)
+    dones = np.asarray(transitions.dones)
+
+    t_done = env.max_episode_steps - 1
+    assert dones[t_done].all() and not dones[:t_done].any()
+    # non-boundary rows: next row's observation IS the stored successor
+    np.testing.assert_allclose(obs[1:t_done + 1], nxt[:t_done], rtol=1e-6)
+    # boundary row: the carried (reset) obs differs from the stored successor
+    assert not np.allclose(obs[t_done + 1], nxt[t_done], atol=1e-3)
+    # and the stored successor is the physics-true successor: recompute the
+    # Pendulum update from the boundary row's observation with u=0
+    cos_t, sin_t, thdot = obs[t_done, :, 0], obs[t_done, :, 1], obs[t_done, :, 2]
+    theta = np.arctan2(sin_t, cos_t)
+    new_thdot = np.clip(
+        thdot + 3.0 * env.g / (2.0 * env.length) * np.sin(theta) * env.dt,
+        -env.max_speed, env.max_speed,
+    )
+    new_theta = theta + new_thdot * env.dt
+    np.testing.assert_allclose(nxt[t_done, :, 0], np.cos(new_theta), atol=1e-5)
+    np.testing.assert_allclose(nxt[t_done, :, 1], np.sin(new_theta), atol=1e-5)
+    np.testing.assert_allclose(nxt[t_done, :, 2], new_thdot, atol=1e-4)
+
+
 def test_fused_collect_with_agent_policy():
     """End-to-end: diffusion-belief + policy as the fused rollout policy."""
     from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent

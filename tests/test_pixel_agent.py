@@ -171,6 +171,36 @@ def test_pixel_agent_act(pixel_agent_and_state):
     assert actions.shape == (3, 2)
 
 
+def test_pixel_agent_act_planned_chunked_probes():
+    """plan_candidates > 0 with epistemic_weight != 0 on a PIXEL agent routes
+    the planning EFE's epistemic decoder probes through the chunked path
+    (the fused vmap expansion OOMs real HBM; regression for the threading of
+    probe_chunk_rows into core.act_planned)."""
+    cfg = ActiveInferenceConfig(
+        action_dim=2, latent_dim=8, hidden_dim=32, score_num_layers=1,
+        batch_size=4, efe_horizon=2, num_efe_trajectories=2,
+        num_ambiguity_samples=2, epistemic_weight=0.1, plan_candidates=3,
+        pixel_observation=True,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    pcfg = PixelObservationConfig(
+        image_shape=(C, H, W), frame_stack=FRAME_STACK, random_shift_pad=2
+    )
+    agent = DiffusionPixelAgent(
+        obs_shape=(FRAME_STACK, C, H, W), action_dim=2,
+        config=cfg, training_config=TrainingConfig(buffer_size=32),
+        pixel_config=pcfg,
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(4))
+    obs = np.random.default_rng(5).integers(
+        0, 256, size=(3, FRAME_STACK, C, H, W), dtype=np.uint8
+    )
+    actions = agent.act(state, obs, jax.random.PRNGKey(6))
+    assert actions.shape == (3, 2)
+    assert np.isfinite(np.asarray(actions)).all()
+
+
 def test_pixel_warm_start_act():
     """Pixel agents route warm-start acting through the conv encoder hook."""
     import jax

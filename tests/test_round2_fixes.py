@@ -73,7 +73,8 @@ def test_planned_efe_prefers_info_gain_when_pragmatics_tie(monkeypatch):
     from active_inference_diffusion_tpu.core.epistemic import EpistemicResult
 
     def fake_estimate(estimator, eparams, decoder_fn, next_mean, next_logvar,
-                      key, running_mean, num_samples, train):
+                      key, running_mean, num_samples, train,
+                      probe_chunk_rows=None):
         value = jnp.sum(next_mean**2, axis=-1)  # (B,) >= 0, candidate-dependent
         return EpistemicResult(value, jnp.mean(value), running_mean, {})
 
