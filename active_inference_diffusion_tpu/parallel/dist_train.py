@@ -110,3 +110,68 @@ def make_sharded_act(agent, mesh: Mesh, num_steps: Optional[int] = None) -> Call
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_fused_collect(
+    env,
+    policy_fn: Callable,
+    mesh: Mesh,
+    num_envs: int,
+    num_steps: int,
+    axis: str = "dp",
+) -> Callable:
+    """Fused on-device rollout sharded over the mesh.
+
+    Each device rolls ``num_envs / mesh.shape[axis]`` env instances through
+    ``envs/jax_envs.fused_collect`` — embarrassingly parallel, zero
+    collectives during the rollout (env instances are independent; the ICI
+    stays free for the train step's gradient reductions). The returned
+    ``Transitions`` arrive sharded over ``axis`` on their env dimension —
+    the dp layout ``make_dp_train_step``'s ``place_batch`` produces, so
+    collect -> train crosses no resharding boundary.
+
+    ``policy_fn(params, obs, key) -> actions`` (params are replicated).
+    Returns ``collect(params, key, env_states=None) -> (transitions,
+    env_states)``; per-device randomness is decorrelated by folding the
+    device index into the key (same pattern as ``make_sharded_act``).
+    """
+    from jax import shard_map
+
+    from ..envs.jax_envs import fused_collect
+
+    n = int(mesh.shape[axis])
+    if num_envs % n != 0:
+        raise ValueError(
+            f"num_envs {num_envs} must divide over mesh axis {axis}={n}"
+        )
+    local = num_envs // n
+
+    def _local(params, key, env_states):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return fused_collect(
+            env, lambda obs, k: policy_fn(params, obs, k), key,
+            local, num_steps, env_states=env_states,
+        )
+
+    out_specs = (P(None, axis), P(axis))
+    with_states = jax.jit(
+        shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(), P(axis)), out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    fresh = jax.jit(
+        shard_map(
+            lambda params, key: _local(params, key, None), mesh=mesh,
+            in_specs=(P(), P()), out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+
+    def collect(params, key, env_states=None):
+        if env_states is None:
+            return fresh(params, key)
+        return with_states(params, key, env_states)
+
+    return collect

@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Multi-chip data/tensor-parallel training demo.
 
-Runs the full 5-optimizer train step GSPMD-sharded over a (dp, tp) mesh.
-On a real TPU slice the same code scales across chips over ICI; here it
-demonstrates on 8 virtual CPU devices so it is runnable anywhere:
+End-to-end on a (dp, tp) mesh: env rollout sharded over dp
+(``make_sharded_fused_collect`` — each device rolls its own fused Pendulum
+instances, zero collectives), transitions consumed by the full 5-optimizer
+GSPMD train step (gradient all-reduces over ICI) without leaving the device
+or resharding. On a real TPU slice the same code scales across chips; here
+it demonstrates on 8 virtual CPU devices so it is runnable anywhere:
 
     python examples/train_multichip.py --dp 4 --tp 2 --steps 5
 
@@ -53,7 +56,11 @@ def main():
         DiffusionConfig,
         TrainingConfig,
     )
-    from active_inference_diffusion_tpu.parallel.dist_train import make_dp_train_step
+    from active_inference_diffusion_tpu.envs.jax_envs import Pendulum
+    from active_inference_diffusion_tpu.parallel.dist_train import (
+        make_dp_train_step,
+        make_sharded_fused_collect,
+    )
     from active_inference_diffusion_tpu.parallel.mesh import make_mesh
 
     devices = jax.devices()[:n_devices]
@@ -61,14 +68,18 @@ def main():
     mesh = make_mesh(shape=(args.dp, args.tp), devices=devices)
     print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
 
+    env = Pendulum()
     config = ActiveInferenceConfig(
-        observation_dim=17, action_dim=6, latent_dim=16, hidden_dim=64,
+        observation_dim=env.observation_dim, action_dim=env.action_dim,
+        latent_dim=16, hidden_dim=64,
         score_num_layers=2, batch_size=args.batch_size,
         efe_horizon=3, num_efe_trajectories=4,
         diffusion=DiffusionConfig(num_diffusion_steps=8, beta_schedule="cosine"),
     )
     config.tpu.donate_buffers = False
-    agent = DiffusionStateAgent(17, 6, config, TrainingConfig(buffer_size=1024))
+    agent = DiffusionStateAgent(
+        env.observation_dim, env.action_dim, config, TrainingConfig(buffer_size=1024)
+    )
     state = agent.init_train_state(jax.random.PRNGKey(0))
 
     train_step, place_state, place_batch = make_dp_train_step(
@@ -76,23 +87,51 @@ def main():
     )
     state = place_state(state)
 
+    # dp-sharded fused rollout: num_envs spread over the dp axis, each batch
+    # of transitions already in the layout the dp train step consumes.
+    num_envs = args.dp * 4
+    steps_per_collect = max(args.batch_size // num_envs, 1)
+
+    def policy_fn(params, obs, key):
+        belief = agent.core.generate_beliefs(
+            params, key, obs, compute_reconstruction=False
+        )
+        dist = agent.core.apply_policy(params["policy"], belief.latent)
+        return jnp.clip(dist.sample(key), -1.0, 1.0) * env.action_high
+
+    collect = make_sharded_fused_collect(
+        env, policy_fn, mesh, num_envs, steps_per_collect
+    )
+
+    def to_batch(transitions):
+        # (T, N@dp, ...) -> (N@dp * T, ...): swap first so the dp-contiguous
+        # env blocks survive the flatten and the batch stays dp-sharded.
+        def flat(x):
+            return x.swapaxes(0, 1).reshape((-1,) + x.shape[2:])
+
+        return {
+            "observations": flat(transitions.observations),
+            "actions": flat(transitions.actions),
+            "rewards": flat(transitions.rewards),
+            "next_observations": flat(transitions.next_observations),
+            "dones": flat(transitions.terminateds),
+        }
+
     key = jax.random.PRNGKey(1)
+    env_states = None
     for step in range(args.steps):
-        key, *ks = jax.random.split(key, 6)
-        batch = place_batch({
-            "observations": jax.random.normal(ks[0], (args.batch_size, 17)),
-            "actions": jax.random.normal(ks[1], (args.batch_size, 6)),
-            "rewards": jax.random.normal(ks[2], (args.batch_size,)),
-            "next_observations": jax.random.normal(ks[3], (args.batch_size, 17)),
-            "dones": jax.random.bernoulli(ks[4], 0.1, (args.batch_size,)),
-        })
+        key, ck = jax.random.split(key)
         t0 = time.perf_counter()
+        transitions, env_states = collect(state.params, ck, env_states)
+        batch = place_batch(to_batch(transitions))
         state, metrics = train_step(state, batch)
         jax.block_until_ready(state.params)
         print(
             f"[step {step}] policy_loss={float(metrics['policy_loss']):+.4f} "
             f"score_loss={float(metrics['score_matching_loss']):.2f} "
-            f"({1e3 * (time.perf_counter() - t0):.0f} ms)"
+            f"mean_reward={float(jnp.mean(transitions.rewards)):+.2f} "
+            f"({1e3 * (time.perf_counter() - t0):.0f} ms collect+train, "
+            f"{num_envs} envs over dp={args.dp})"
         )
     print("done")
 

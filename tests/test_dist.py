@@ -124,6 +124,54 @@ def test_sharded_act():
     assert not np.allclose(a[:2], a[2:4])
 
 
+def test_sharded_fused_collect():
+    """Envs-over-devices fused rollout: transitions come back dp-sharded on
+    the env axis, shards draw decorrelated randomness, and the carried env
+    states round-trip through a second collect."""
+    from active_inference_diffusion_tpu.envs.jax_envs import Pendulum
+    from active_inference_diffusion_tpu.parallel.dist_train import (
+        make_sharded_fused_collect,
+    )
+
+    env = Pendulum()
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, latent_dim=8, hidden_dim=32,
+        score_num_layers=1, batch_size=8,
+        diffusion=DiffusionConfig(num_diffusion_steps=2, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    agent = DiffusionStateAgent(3, 1, cfg, TrainingConfig(buffer_size=64))
+    params = agent.core.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(shape=(8, 1))
+    n_envs, n_steps = 16, 5
+
+    def policy_fn(p, obs, key):
+        belief = agent.core.generate_beliefs(
+            p, key, obs, compute_reconstruction=False
+        )
+        dist = agent.core.apply_policy(p["policy"], belief.latent)
+        return jnp.clip(dist.sample(key), -1.0, 1.0) * env.action_high
+
+    collect = make_sharded_fused_collect(env, policy_fn, mesh, n_envs, n_steps)
+    transitions, states = collect(params, jax.random.PRNGKey(1))
+    assert transitions.observations.shape == (n_steps, n_envs, 3)
+    assert states.obs.shape == (n_envs, 3)
+    r = np.asarray(transitions.rewards)
+    assert np.isfinite(r).all()
+    # env axis is sharded over dp
+    spec = transitions.observations.sharding.spec
+    assert spec[1] == "dp"
+    # decorrelated shards: per-shard reward trajectories differ
+    assert not np.allclose(r[:, :2], r[:, 2:4])
+
+    # continue from carried states
+    transitions2, _ = collect(params, jax.random.PRNGKey(2), states)
+    assert transitions2.observations.shape == (n_steps, n_envs, 3)
+    assert np.isfinite(np.asarray(transitions2.rewards)).all()
+    # the two collects disagree (fresh keys, advanced states)
+    assert not np.allclose(r, np.asarray(transitions2.rewards))
+
+
 def test_multihost_mesh_single_process():
     """Single-process degenerate case of the (host, dp, tp) multi-host mesh."""
     from active_inference_diffusion_tpu.parallel.multihost import (
