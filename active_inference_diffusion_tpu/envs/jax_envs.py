@@ -44,8 +44,20 @@ class JaxEnv:
     observation_dim: int
     action_dim: int
     max_episode_steps: int = 1000
-    action_low: float = -1.0
-    action_high: float = 1.0
+    # Scalars for symmetric analytic envs; adapters with heterogeneous or
+    # asymmetric actuator ranges (MJXEnv) store per-dimension arrays here —
+    # consumers must map normalized actions through ``scale_action``, not
+    # multiply by ``action_high``.
+    action_low = -1.0
+    action_high = 1.0
+
+    def scale_action(self, action: jnp.ndarray) -> jnp.ndarray:
+        """Affine-map a normalized action in [-1, 1] to the env's action
+        space. Supports per-dimension and asymmetric (low != -high) bounds;
+        for the symmetric case this is exactly ``action * action_high``."""
+        low = jnp.asarray(self.action_low, jnp.float32)
+        high = jnp.asarray(self.action_high, jnp.float32)
+        return low + (action + 1.0) * 0.5 * (high - low)
 
     def reset(self, key: jax.Array) -> EnvState:
         raise NotImplementedError
@@ -53,8 +65,17 @@ class JaxEnv:
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         raise NotImplementedError
 
-    def step_autoreset(self, state: EnvState, action: jnp.ndarray) -> EnvState:
-        """Step; if the episode ended, start a fresh one (pure autoreset)."""
+    def step_autoreset(
+        self, state: EnvState, action: jnp.ndarray
+    ) -> Tuple[EnvState, jnp.ndarray]:
+        """Step; if the episode ended, start a fresh one (pure autoreset).
+
+        Returns ``(state, true_next_obs)``: the carried state's obs is the
+        FRESH episode's first obs wherever done, but the transition's
+        next_observation must be the TRUE successor — bootstrapping value
+        targets from an unrelated reset state at every time-limit boundary
+        corrupts them (the host collector stores info['final_observation']
+        for exactly this reason, parallel/collect.py:122-128)."""
         next_state = self.step(state, action)
         reset_key, carry_key = jax.random.split(next_state.key)
         fresh = self.reset(reset_key)
@@ -64,12 +85,13 @@ class JaxEnv:
         )
         # keep the reward/done/terminated of the finishing step, and a fresh
         # key (the merged tree took the fresh env's fields wherever done)
-        return merged.replace(
+        merged = merged.replace(
             reward=next_state.reward,
             done=next_state.done,
             terminated=next_state.terminated,
             key=carry_key,
         )
+        return merged, next_state.obs
 
 
 class Pendulum(JaxEnv):
@@ -294,28 +316,7 @@ def fused_collect(
     if env_states is None:
         env_states = jax.vmap(env.reset)(jax.random.split(reset_key, num_envs))
 
-    def step_with_true_next_obs(state, action):
-        """step_autoreset, but also return the TRUE successor observation.
-
-        The autoreset-merged state's obs is the FRESH episode's first obs
-        wherever done; storing that as the transition's next_observation
-        would make value targets bootstrap from an unrelated reset state at
-        every time-limit boundary (the host collector stores
-        info['final_observation'] for exactly this reason,
-        parallel/collect.py:122-128)."""
-        nxt = env.step(state, action)
-        reset_key_, carry_key = jax.random.split(nxt.key)
-        fresh = env.reset(reset_key_)
-        merged = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(nxt.done, a, b), fresh, nxt
-        )
-        merged = merged.replace(
-            reward=nxt.reward, done=nxt.done, terminated=nxt.terminated,
-            key=carry_key,
-        )
-        return merged, nxt.obs
-
-    step_env = jax.vmap(step_with_true_next_obs)
+    step_env = jax.vmap(env.step_autoreset)
 
     def body(carry, step_key):
         states = carry
@@ -381,3 +382,59 @@ def flatten_transitions(t: Transitions) -> Transitions:
     return Transitions(
         *[x.reshape((-1,) + x.shape[2:]) for x in t]
     )
+
+
+def make_rollout_policy(
+    core,
+    env: JaxEnv,
+    *,
+    deterministic: bool = False,
+    act_from_posterior: bool = False,
+    deterministic_beliefs: bool = False,
+    num_steps: Optional[int] = None,
+    encode_fn: Optional[Callable] = None,
+):
+    """The canonical fused-rollout policy: belief (diffusion sweep or
+    amortized posterior) -> policy head -> squash -> env action scaling.
+
+    Returns ``policy_fn(params, obs_batch, key) -> action_batch`` — the
+    signature ``parallel/dist_train.make_sharded_fused_collect`` expects;
+    close over params (``lambda obs, k: policy_fn(params, obs, k)``) for
+    ``fused_collect``. The key is split between the belief sweep and the
+    action sample (correlating them biases exploration — same discipline as
+    ``agents/state_agent._act_impl``), squashing matches training/imagination
+    (collect-train action-distribution mismatch otherwise), and actions map
+    through ``env.scale_action`` so asymmetric/heterogeneous actuator ranges
+    (MJX tasks) are respected.
+
+    ``encode_fn(params, obs, key) -> features`` prepends an observation
+    encoder (pixel agents: ``lambda p, o, k: agent._apply_encoder(p, o, k,
+    augment=False, train=False)``).
+    """
+    from ..models.policy import sample_action
+
+    def policy_fn(params, obs, key):
+        enc_key, belief_key, act_key = jax.random.split(key, 3)
+        if encode_fn is not None:
+            obs = encode_fn(params, obs, enc_key)
+        if act_from_posterior:
+            latent = core.sample_posterior(
+                params["posterior"], belief_key, obs,
+                deterministic=deterministic or deterministic_beliefs,
+            )
+        else:
+            belief = core.generate_beliefs(
+                params, belief_key, obs,
+                num_steps=num_steps,
+                compute_reconstruction=False,
+                deterministic=deterministic or deterministic_beliefs,
+            )
+            latent = belief.latent
+        dist = core.apply_policy(params["policy"], latent)
+        action, _ = sample_action(
+            dist, act_key, deterministic=deterministic,
+            squash=core.policy_squash,
+        )
+        return env.scale_action(jnp.clip(action, -1.0, 1.0))
+
+    return policy_fn

@@ -100,11 +100,17 @@ class MJXEnv(JaxEnv):
         self.max_episode_steps = spec.max_episode_steps
         # Gymnasium's action space is Box(ctrlrange): Humanoid's is ±0.4,
         # not ±1 — leaving JaxEnv's ±1 default would pay ctrl_cost on the
-        # unclamped action and present a different MDP than gym.make.
+        # unclamped action and present a different MDP than gym.make. Kept
+        # PER-ACTUATOR (shape (nu,)): collapsing heterogeneous ranges to a
+        # scalar would command narrow actuators outside their range (MuJoCo
+        # clamps ctrl internally but task_reward's ctrl_cost is computed on
+        # the unclamped action) — consumers map normalized actions through
+        # ``scale_action``, which also honors asymmetric (low != -high)
+        # ranges.
         ctrlrange = self.model.actuator_ctrlrange
         if ctrlrange.size and (ctrlrange[:, 1] > ctrlrange[:, 0]).all():
-            self.action_low = float(ctrlrange[:, 0].min())
-            self.action_high = float(ctrlrange[:, 1].max())
+            self.action_low = jnp.asarray(ctrlrange[:, 0], jnp.float32)
+            self.action_high = jnp.asarray(ctrlrange[:, 1], jnp.float32)
 
     # -- field extraction ------------------------------------------------
 

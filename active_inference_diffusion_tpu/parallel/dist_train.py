@@ -23,6 +23,7 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import batch_sharding, param_shardings, replicated
@@ -119,6 +120,7 @@ def make_sharded_fused_collect(
     num_envs: int,
     num_steps: int,
     axis: str = "dp",
+    steps_per_dispatch: Optional[int] = None,
 ) -> Callable:
     """Fused on-device rollout sharded over the mesh.
 
@@ -134,10 +136,18 @@ def make_sharded_fused_collect(
     Returns ``collect(params, key, env_states=None) -> (transitions,
     env_states)``; per-device randomness is decorrelated by folding the
     device index into the key (same pattern as ``make_sharded_act``).
+
+    ``steps_per_dispatch`` bounds how many rollout steps run as ONE device
+    dispatch: longer rollouts are split into that many-step dispatches whose
+    transitions are concatenated on the time axis (still device-resident,
+    still sharded). Single multi-minute dispatches get the remote TPU worker
+    killed on this deployment (same rule as
+    ``TrainingConfig.epoch_chunk_updates`` for the train path) — set this
+    whenever ``num_steps`` × per-step cost can exceed ~1 min.
     """
     from jax import shard_map
 
-    from ..envs.jax_envs import fused_collect
+    from ..envs.jax_envs import Transitions, fused_collect
 
     n = int(mesh.shape[axis])
     if num_envs % n != 0:
@@ -145,12 +155,19 @@ def make_sharded_fused_collect(
             f"num_envs {num_envs} must divide over mesh axis {axis}={n}"
         )
     local = num_envs // n
+    chunk = num_steps if steps_per_dispatch is None else int(steps_per_dispatch)
+    if num_steps % chunk != 0:
+        raise ValueError(
+            f"num_steps {num_steps} must be a multiple of "
+            f"steps_per_dispatch {chunk}"
+        )
+    num_dispatches = num_steps // chunk
 
     def _local(params, key, env_states):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return fused_collect(
             env, lambda obs, k: policy_fn(params, obs, k), key,
-            local, num_steps, env_states=env_states,
+            local, chunk, env_states=env_states,
         )
 
     out_specs = (P(None, axis), P(axis))
@@ -170,8 +187,19 @@ def make_sharded_fused_collect(
     )
 
     def collect(params, key, env_states=None):
-        if env_states is None:
-            return fresh(params, key)
-        return with_states(params, key, env_states)
+        chunks = []
+        for i in range(num_dispatches):
+            ckey = jax.random.fold_in(key, i)
+            if env_states is None:
+                transitions, env_states = fresh(params, ckey)
+            else:
+                transitions, env_states = with_states(params, ckey, env_states)
+            chunks.append(transitions)
+        if num_dispatches == 1:
+            return chunks[0], env_states
+        merged = Transitions(
+            *[jnp.concatenate(parts, axis=0) for parts in zip(*chunks)]
+        )
+        return merged, env_states
 
     return collect

@@ -376,7 +376,7 @@ def main():
                 fparams, belief_key, obs_b, compute_reconstruction=False
             )
             dist = fagent.core.apply_policy(fparams["policy"], belief.latent)
-            return jnp.clip(dist.sample(act_key), -1.0, 1.0) * env.action_high
+            return env.scale_action(jnp.clip(dist.sample(act_key), -1.0, 1.0))
 
         @jax.jit
         def collect(key, env_states):
@@ -451,7 +451,7 @@ def main():
                 pparams, belief_key, feats, compute_reconstruction=False
             )
             dist = pagent.core.apply_policy(pparams["policy"], belief.latent)
-            return jnp.clip(dist.sample(act_key), -1.0, 1.0) * penv.action_high
+            return penv.scale_action(jnp.clip(dist.sample(act_key), -1.0, 1.0))
 
         @jax.jit
         def pixel_collect(key, env_states):

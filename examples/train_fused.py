@@ -102,6 +102,7 @@ def main():
         fused_collect,
         fused_eval,
         make_jax_env,
+        make_rollout_policy,
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
 
@@ -146,52 +147,26 @@ def main():
         training_config.buffer_size, (env.observation_dim,), env.action_dim
     )
 
-    act_scale = env.action_high
 
-    from active_inference_diffusion_tpu.models.policy import sample_action
+    rollout_policy = make_rollout_policy(
+        agent.core, env,
+        act_from_posterior=config.act_from_posterior,
+        deterministic_beliefs=config.deterministic_beliefs,
+    )
+    eval_rollout = make_rollout_policy(
+        agent.core, env, deterministic=True,
+        act_from_posterior=config.act_from_posterior,
+    )
 
     def policy_fn_builder(params, noise_scale):
-        def policy_fn(obs, key):
-            belief_key, act_key = jax.random.split(key)
-            if config.act_from_posterior:
-                latent = agent.core.sample_posterior(
-                    params["posterior"], belief_key, obs,
-                    deterministic=config.deterministic_beliefs,
-                )
-            else:
-                belief = agent.core.generate_beliefs(
-                    params, belief_key, obs, compute_reconstruction=False,
-                    deterministic=config.deterministic_beliefs,
-                )
-                latent = belief.latent
-            dist = agent.core.apply_policy(params["policy"], latent)
-            # Same squashing as training/imagination (collect-train action
-            # distribution mismatch otherwise).
-            action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)
-            return jnp.clip(action, -1.0, 1.0) * act_scale
-
-        return policy_fn
+        return lambda obs, key: rollout_policy(params, obs, key)
 
     @jax.jit
     def eval_return(params, key):
-        def eval_policy(obs, k):
-            if config.act_from_posterior:
-                latent = agent.core.sample_posterior(
-                    params["posterior"], k, obs, deterministic=True
-                )
-            else:
-                belief = agent.core.generate_beliefs(
-                    params, k, obs, compute_reconstruction=False,
-                    deterministic=True,
-                )
-                latent = belief.latent
-            dist = agent.core.apply_policy(params["policy"], latent)
-            action, _ = sample_action(
-                dist, None, deterministic=True, squash=agent.core.policy_squash
-            )
-            return jnp.clip(action, -1.0, 1.0) * act_scale
-
-        return fused_eval(env, eval_policy, key, args.eval_envs)
+        return fused_eval(
+            env, lambda obs, k: eval_rollout(params, obs, k), key,
+            args.eval_envs,
+        )
 
     @jax.jit
     def collect_and_store(params, replay, env_states, key, noise_scale):

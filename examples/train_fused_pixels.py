@@ -52,8 +52,8 @@ def main():
         flatten_transitions,
         fused_collect,
         fused_eval,
+        make_rollout_policy,
     )
-    from active_inference_diffusion_tpu.models.policy import sample_action
     from active_inference_diffusion_tpu.utils.logger import Logger
 
     from active_inference_diffusion_tpu.envs.pixel_render import (
@@ -100,29 +100,22 @@ def main():
         args.buffer_size, env.obs_shape, env.action_dim, obs_dtype=jnp.uint8
     )
 
-    act_scale = env.action_high
+
+    def encode(params, obs, key):
+        return agent._apply_encoder(params, obs, key, augment=False, train=False)
+
+    rollout_policy = make_rollout_policy(
+        agent.core, env, encode_fn=encode,
+        act_from_posterior=config.act_from_posterior,
+        deterministic_beliefs=config.deterministic_beliefs,
+    )
+    eval_rollout = make_rollout_policy(
+        agent.core, env, encode_fn=encode, deterministic=True,
+        act_from_posterior=config.act_from_posterior,
+    )
 
     def policy_fn_builder(params):
-        def policy_fn(obs, key):
-            enc_key, belief_key, act_key = jax.random.split(key, 3)
-            feats = agent._apply_encoder(
-                params, obs, enc_key, augment=False, train=False
-            )
-            if config.act_from_posterior:
-                latent = agent.core.sample_posterior(
-                    params["posterior"], belief_key, feats,
-                    deterministic=config.deterministic_beliefs,
-                )
-            else:
-                latent = agent.core.generate_beliefs(
-                    params, belief_key, feats, compute_reconstruction=False,
-                    deterministic=config.deterministic_beliefs,
-                ).latent
-            dist = agent.core.apply_policy(params["policy"], latent)
-            action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)
-            return jnp.clip(action, -1.0, 1.0) * act_scale
-
-        return policy_fn
+        return lambda obs, key: rollout_policy(params, obs, key)
 
     @jax.jit
     def collect_and_store(params, replay_state, env_states, key):
@@ -141,27 +134,10 @@ def main():
 
     @jax.jit
     def eval_return(params, key):
-        def eval_policy(obs, k):
-            enc_key, belief_key = jax.random.split(k)
-            feats = agent._apply_encoder(
-                params, obs, enc_key, augment=False, train=False
-            )
-            if config.act_from_posterior:
-                latent = agent.core.sample_posterior(
-                    params["posterior"], belief_key, feats, deterministic=True
-                )
-            else:
-                latent = agent.core.generate_beliefs(
-                    params, belief_key, feats, compute_reconstruction=False,
-                    deterministic=True,
-                ).latent
-            dist = agent.core.apply_policy(params["policy"], latent)
-            action, _ = sample_action(
-                dist, None, deterministic=True, squash=agent.core.policy_squash
-            )
-            return jnp.clip(action, -1.0, 1.0) * act_scale
-
-        return fused_eval(env, eval_policy, key, args.eval_envs)
+        return fused_eval(
+            env, lambda obs, k: eval_rollout(params, obs, k), key,
+            args.eval_envs,
+        )
 
     logger = Logger(
         use_wandb=False, experiment_name=f"fused_pixels_{args.env.split('-')[0]}"

@@ -56,7 +56,10 @@ def main():
         DiffusionConfig,
         TrainingConfig,
     )
-    from active_inference_diffusion_tpu.envs.jax_envs import Pendulum
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        Pendulum,
+        make_rollout_policy,
+    )
     from active_inference_diffusion_tpu.parallel.dist_train import (
         make_dp_train_step,
         make_sharded_fused_collect,
@@ -69,10 +72,22 @@ def main():
     print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
 
     env = Pendulum()
+    # dp-sharded fused rollout: num_envs spread over the dp axis. The train
+    # batch is exactly one collect's transitions (num_envs * steps), so round
+    # the requested batch size to that grid and say so — silently training on
+    # a different batch than --batch-size would misreport the experiment.
+    num_envs = args.dp * 4
+    steps_per_collect = max(args.batch_size // num_envs, 1)
+    actual_batch = num_envs * steps_per_collect
+    if actual_batch != args.batch_size:
+        print(
+            f"note: --batch-size {args.batch_size} rounded to {actual_batch} "
+            f"(= {num_envs} envs x {steps_per_collect} steps per collect)"
+        )
     config = ActiveInferenceConfig(
         observation_dim=env.observation_dim, action_dim=env.action_dim,
         latent_dim=16, hidden_dim=64,
-        score_num_layers=2, batch_size=args.batch_size,
+        score_num_layers=2, batch_size=actual_batch,
         efe_horizon=3, num_efe_trajectories=4,
         diffusion=DiffusionConfig(num_diffusion_steps=8, beta_schedule="cosine"),
     )
@@ -87,17 +102,7 @@ def main():
     )
     state = place_state(state)
 
-    # dp-sharded fused rollout: num_envs spread over the dp axis, each batch
-    # of transitions already in the layout the dp train step consumes.
-    num_envs = args.dp * 4
-    steps_per_collect = max(args.batch_size // num_envs, 1)
-
-    def policy_fn(params, obs, key):
-        belief = agent.core.generate_beliefs(
-            params, key, obs, compute_reconstruction=False
-        )
-        dist = agent.core.apply_policy(params["policy"], belief.latent)
-        return jnp.clip(dist.sample(key), -1.0, 1.0) * env.action_high
+    policy_fn = make_rollout_policy(agent.core, env)
 
     collect = make_sharded_fused_collect(
         env, policy_fn, mesh, num_envs, steps_per_collect

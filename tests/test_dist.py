@@ -128,7 +128,10 @@ def test_sharded_fused_collect():
     """Envs-over-devices fused rollout: transitions come back dp-sharded on
     the env axis, shards draw decorrelated randomness, and the carried env
     states round-trip through a second collect."""
-    from active_inference_diffusion_tpu.envs.jax_envs import Pendulum
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        Pendulum,
+        make_rollout_policy,
+    )
     from active_inference_diffusion_tpu.parallel.dist_train import (
         make_sharded_fused_collect,
     )
@@ -145,12 +148,7 @@ def test_sharded_fused_collect():
     mesh = make_mesh(shape=(8, 1))
     n_envs, n_steps = 16, 5
 
-    def policy_fn(p, obs, key):
-        belief = agent.core.generate_beliefs(
-            p, key, obs, compute_reconstruction=False
-        )
-        dist = agent.core.apply_policy(p["policy"], belief.latent)
-        return jnp.clip(dist.sample(key), -1.0, 1.0) * env.action_high
+    policy_fn = make_rollout_policy(agent.core, env)
 
     collect = make_sharded_fused_collect(env, policy_fn, mesh, n_envs, n_steps)
     transitions, states = collect(params, jax.random.PRNGKey(1))

@@ -44,7 +44,7 @@ def test_pendulum_time_limit_autoreset():
     state = env.reset(jax.random.PRNGKey(0))
     action = jnp.zeros(1)
     for i in range(env.max_episode_steps):
-        state = env.step_autoreset(state, action)
+        state, _ = env.step_autoreset(state, action)
     # the 200th step ended the episode; the carried state is freshly reset
     assert bool(state.done)
     assert int(state.step_count) == 0  # reset happened
@@ -368,7 +368,7 @@ def test_fused_pixel_training_slice():
         )
         dist = agent.core.apply_policy(state.params["policy"], latent)
         action, _ = sample_action(dist, act_key, squash=agent.core.policy_squash)
-        return jnp.clip(action, -1.0, 1.0) * env.action_high
+        return env.scale_action(jnp.clip(action, -1.0, 1.0))
 
     transitions, _ = jax.jit(
         lambda k: fused_collect(env, policy_fn, k, num_envs=4, num_steps=8)

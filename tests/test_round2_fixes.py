@@ -257,10 +257,12 @@ def test_autoreset_preserves_terminated_of_finishing_step():
     state = env.reset(jax.random.PRNGKey(0))
     # Fast-forward to the last step so the next step truncates.
     state = state.replace(step_count=jnp.asarray(env.max_episode_steps - 1, jnp.int32))
-    nxt = env.step_autoreset(state, jnp.zeros(2))
+    nxt, true_next_obs = env.step_autoreset(state, jnp.zeros(2))
     assert bool(nxt.done)
     assert not bool(nxt.terminated)
     assert int(nxt.step_count) == 0  # fresh episode carried
+    # the TRUE successor obs, not the fresh episode's first obs
+    assert not jnp.allclose(true_next_obs, nxt.obs)
 
 
 # ---------------------------------------------------------------------------
