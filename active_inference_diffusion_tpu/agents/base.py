@@ -105,10 +105,19 @@ def make_optimizers(
         elif name == "policy":
             # policy_lr_scale < 1 lets the world model out-pace the actor —
             # a standard guard against the actor racing ahead of (and then
-            # exploiting) a still-moving model.
+            # exploiting) a still-moving model. policy_lr_decay_steps
+            # additionally anneals the actor (cosine) so late-run
+            # actor-dynamics limit cycles settle into a plateau.
+            plr = lr * config.policy_lr_scale
+            if config.policy_lr_decay_steps:
+                plr = optax.cosine_decay_schedule(
+                    init_value=plr,
+                    decay_steps=config.policy_lr_decay_steps,
+                    alpha=config.policy_lr_final_scale,
+                )
             opts[name] = optax.chain(
                 optax.clip_by_global_norm(clip),
-                optax.adamw(lr * config.policy_lr_scale, weight_decay=1e-5),
+                optax.adamw(plr, weight_decay=1e-5),
             )
         elif name == "epistemic":
             opts[name] = optax.chain(

@@ -267,6 +267,16 @@ class ActiveInferenceConfig:
     # actor behind the world model — the remaining drift lever after
     # return norm / auto-entropy / pessimism (see DEVIATIONS.md).
     policy_lr_scale: float = 1.0
+    # Cosine-decay the actor learning rate from lr*policy_lr_scale down to
+    # policy_lr_final_scale of that value over this many OPTIMIZER UPDATES
+    # (None disables). Late-run eval oscillation on Hopper is behavioral
+    # actor-dynamics co-adaptation at a fixed step size (DEVIATIONS.md drift
+    # experiment A: ~175 plateau with +-50 swings while every training loss
+    # stays healthy); annealing the actor converts that limit cycle into a
+    # plateau, the classic actor-critic remedy. Policy group only — the
+    # world model keeps learning at full rate.
+    policy_lr_decay_steps: Optional[int] = None
+    policy_lr_final_scale: float = 0.1
     # Late-run drift stabilizer (extension; DEVIATIONS.md forensics: every
     # env's eval peaks then decays as the actor slowly walks off the
     # world-model's support). Anchors the live actor to its own Polyak

@@ -325,3 +325,42 @@ def test_host_replay_key_discipline(cls_name):
     assert not np.array_equal(np.asarray(b1["rewards"]), np.asarray(b2["rewards"]))
     # None key still works (falls back to the internal generator)
     assert buf.sample(None, 4)["rewards"].shape == (4,)
+
+
+# ---------------------------------------------------------------------------
+# Actor learning-rate decay (drift stabilizer)
+# ---------------------------------------------------------------------------
+
+
+def test_policy_lr_decay_anneals_actor_updates():
+    """With policy_lr_decay_steps set, the policy group's update magnitude
+    decays toward policy_lr_final_scale x the initial step size; all other
+    groups are untouched."""
+    from active_inference_diffusion_tpu.agents.base import make_optimizers
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+    )
+
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1,
+        policy_lr_scale=1.0, policy_lr_decay_steps=100,
+        policy_lr_final_scale=0.1,
+    )
+    opts = make_optimizers(cfg, {"policy": [], "value": []})
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.ones((4,))}
+
+    def run(opt, n):
+        state = opt.init(params)
+        sizes = []
+        for _ in range(n):
+            upd, state = opt.update(grads, state, params)
+            sizes.append(float(jnp.abs(upd["w"]).mean()))
+        return sizes
+
+    psizes = run(opts["policy"], 100)
+    # Adam with constant unit grads steps ~lr each update: the cosine decay
+    # shows up directly in the update magnitude.
+    assert psizes[-1] < 0.2 * psizes[0]
+    vsizes = run(opts["value"], 100)
+    assert vsizes[-1] > 0.9 * vsizes[0]  # non-policy groups undecayed
