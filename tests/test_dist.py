@@ -182,3 +182,37 @@ def test_multihost_mesh_single_process():
     assert dict(mesh.shape) == {"host": 1, "dp": 4, "tp": 2}
     mesh2 = make_multihost_mesh()
     assert dict(mesh2.shape) == {"host": 1, "dp": 8, "tp": 1}
+
+
+def test_sharded_fused_collect_steps_per_dispatch():
+    """Chunked dispatches concatenate to the full rollout length and carry
+    env state across chunks (step counts keep advancing)."""
+    from active_inference_diffusion_tpu.envs.jax_envs import Pendulum
+    from active_inference_diffusion_tpu.parallel.dist_train import (
+        make_sharded_fused_collect,
+    )
+
+    env = Pendulum()
+    mesh = make_mesh(shape=(8, 1))
+
+    def random_policy(params, obs, key):
+        return jax.random.uniform(
+            key, (obs.shape[0], env.action_dim), minval=-2.0, maxval=2.0
+        )
+
+    collect = make_sharded_fused_collect(
+        env, random_policy, mesh, num_envs=16, num_steps=12,
+        steps_per_dispatch=4,
+    )
+    transitions, states = collect({}, jax.random.PRNGKey(0))
+    assert transitions.observations.shape == (12, 16, 3)
+    assert transitions.observations.sharding.spec[1] == "dp"
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
+    # state carried through all three dispatches
+    assert (np.asarray(states.step_count) == 12).all()
+
+    with pytest.raises(ValueError, match="multiple"):
+        make_sharded_fused_collect(
+            env, random_policy, mesh, num_envs=16, num_steps=10,
+            steps_per_dispatch=4,
+        )
