@@ -294,6 +294,60 @@ class Transitions(NamedTuple):
     terminateds: jnp.ndarray
 
 
+def fused_collect_stateful(
+    env: JaxEnv,
+    policy_fn: Callable,
+    key: jax.Array,
+    num_envs: int,
+    num_steps: int,
+    policy_state,
+    env_states: Optional[EnvState] = None,
+) -> Tuple[Transitions, EnvState, object]:
+    """``fused_collect`` with a policy that carries state across env steps.
+
+    ``policy_fn(obs_batch, key, policy_state, reset_mask) ->
+    (action_batch, policy_state)``; ``reset_mask`` is (N,) bool, True for
+    envs whose previous step ended an episode (the policy decides how to
+    reinitialize its per-env state — e.g. a fresh prior draw for warm-start
+    beliefs). The canonical use is warm-start partial denoising
+    (``make_warm_rollout_policy``): carrying the previous control step's
+    belief lets each step run a short truncated sweep instead of the full
+    K-step reverse diffusion — the fused analogue of the host path's
+    ``DiffusionStateAgent.act_warm`` / ``collect_warm_start``.
+
+    Returns ``(transitions, env_states, policy_state)``.
+    """
+    reset_key, scan_key = jax.random.split(key)
+    if env_states is None:
+        env_states = jax.vmap(env.reset)(jax.random.split(reset_key, num_envs))
+
+    step_env = jax.vmap(env.step_autoreset)
+
+    def body(carry, step_key):
+        states, pstate = carry
+        obs = states.obs
+        act_key, _ = jax.random.split(step_key)
+        # states.done marks envs that were autoreset into a fresh episode at
+        # the END of the previous step — exactly the envs whose carried
+        # policy state refers to a dead episode.
+        actions, pstate = policy_fn(obs, act_key, pstate, states.done)
+        next_states, true_next_obs = step_env(states, actions)
+        transition = Transitions(
+            observations=obs,
+            actions=actions,
+            rewards=next_states.reward,
+            next_observations=true_next_obs,
+            dones=next_states.done,
+            terminateds=next_states.terminated,
+        )
+        return (next_states, pstate), transition
+
+    (final_states, policy_state), transitions = jax.lax.scan(
+        body, (env_states, policy_state), jax.random.split(scan_key, num_steps)
+    )
+    return transitions, final_states, policy_state
+
+
 def fused_collect(
     env: JaxEnv,
     policy_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
@@ -312,30 +366,12 @@ def fused_collect(
     ``policy_fn(obs_batch, key) -> action_batch`` is typically the agent's
     diffusion-belief + policy program.
     """
-    reset_key, scan_key = jax.random.split(key)
-    if env_states is None:
-        env_states = jax.vmap(env.reset)(jax.random.split(reset_key, num_envs))
 
-    step_env = jax.vmap(env.step_autoreset)
+    def stateless(obs, key_, _pstate, _reset_mask):
+        return policy_fn(obs, key_), ()
 
-    def body(carry, step_key):
-        states = carry
-        obs = states.obs
-        act_key, _ = jax.random.split(step_key)
-        actions = policy_fn(obs, act_key)
-        next_states, true_next_obs = step_env(states, actions)
-        transition = Transitions(
-            observations=obs,
-            actions=actions,
-            rewards=next_states.reward,
-            next_observations=true_next_obs,
-            dones=next_states.done,
-            terminateds=next_states.terminated,
-        )
-        return next_states, transition
-
-    final_states, transitions = jax.lax.scan(
-        body, env_states, jax.random.split(scan_key, num_steps)
+    transitions, final_states, _ = fused_collect_stateful(
+        env, stateless, key, num_envs, num_steps, (), env_states=env_states
     )
     return transitions, final_states
 
@@ -438,3 +474,53 @@ def make_rollout_policy(
         return env.scale_action(jnp.clip(action, -1.0, 1.0))
 
     return policy_fn
+
+
+def make_warm_rollout_policy(
+    core,
+    env: JaxEnv,
+    *,
+    num_steps: int,
+    deterministic: bool = False,
+    encode_fn: Optional[Callable] = None,
+):
+    """Warm-start variant of ``make_rollout_policy`` for
+    ``fused_collect_stateful``: each control step's reverse sweep starts from
+    the PREVIOUS step's belief (forward-noised to the truncation timestep)
+    instead of pure noise, so ``num_steps`` can be far below the training K
+    (measured K=20 -> 5 on the host path; cf. Falcon, arXiv:2503.00339).
+    Envs flagged in ``reset_mask`` restart from a fresh standard-normal draw
+    (q_sample maps N(0, I) to an exactly standard-normal sweep start) — the
+    same discipline as ``DiffusionStateAgent._act_warm_impl``.
+
+    Returns ``policy_fn(params, obs, key, prev_latent, reset_mask) ->
+    (actions, latent)``; seed the scan carry with
+    ``init_warm_state(key, num_envs, latent_dim)``.
+    """
+    from ..models.policy import sample_action
+
+    def policy_fn(params, obs, key, prev_latent, reset_mask):
+        enc_key, belief_key, act_key, reset_key = jax.random.split(key, 4)
+        if encode_fn is not None:
+            obs = encode_fn(params, obs, enc_key)
+        fresh = jax.random.normal(reset_key, prev_latent.shape, prev_latent.dtype)
+        z_prev = jnp.where(reset_mask[:, None], fresh, prev_latent)
+        belief = core.generate_beliefs(
+            params, belief_key, obs, num_steps=num_steps,
+            compute_reconstruction=False, z_init=z_prev,
+            deterministic=deterministic,
+        )
+        dist = core.apply_policy(params["policy"], belief.latent)
+        action, _ = sample_action(
+            dist, act_key, deterministic=deterministic,
+            squash=core.policy_squash,
+        )
+        return env.scale_action(jnp.clip(action, -1.0, 1.0)), belief.latent
+
+    return policy_fn
+
+
+def init_warm_state(key: jax.Array, num_envs: int, latent_dim: int) -> jnp.ndarray:
+    """Initial warm-start belief carry: standard-normal, i.e. every env's
+    first sweep behaves exactly like a reset env's."""
+    return jax.random.normal(key, (num_envs, latent_dim))

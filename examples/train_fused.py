@@ -60,6 +60,11 @@ def main():
                              "lax.scan (agent.train_epoch) — essential "
                              "through a remote chip")
     parser.add_argument("--buffer-size", type=int, default=50_000)
+    parser.add_argument("--warm-start-steps", type=int, default=0,
+                        help="collect with warm-start partial denoising: "
+                             "carry each env's belief across control steps "
+                             "and run only N reverse steps per act (0 = full "
+                             "K sweep every step)")
     parser.add_argument("--eval-every", type=int, default=0,
                         help="every N iterations, roll full deterministic "
                              "episodes on device and log mean return")
@@ -100,9 +105,12 @@ def main():
     from active_inference_diffusion_tpu.envs.jax_envs import (
         flatten_transitions,
         fused_collect,
+        fused_collect_stateful,
         fused_eval,
+        init_warm_state,
         make_jax_env,
         make_rollout_policy,
+        make_warm_rollout_policy,
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
 
@@ -157,9 +165,17 @@ def main():
         agent.core, env, deterministic=True,
         act_from_posterior=config.act_from_posterior,
     )
-
-    def policy_fn_builder(params, noise_scale):
-        return lambda obs, key: rollout_policy(params, obs, key)
+    warm_policy = None
+    if args.warm_start_steps:
+        if config.act_from_posterior:
+            parser.error(
+                "--warm-start-steps is meaningless with --act-from-posterior "
+                "(posterior acting is a single encoder forward, no sweep to "
+                "truncate)"
+            )
+        warm_policy = make_warm_rollout_policy(
+            agent.core, env, num_steps=args.warm_start_steps,
+        )
 
     @jax.jit
     def eval_return(params, key):
@@ -169,15 +185,23 @@ def main():
         )
 
     @jax.jit
-    def collect_and_store(params, replay, env_states, key, noise_scale):
-        transitions, env_states = fused_collect(
-            env,
-            policy_fn_builder(params, noise_scale),
-            key,
-            args.num_envs,
-            args.steps_per_iter,
-            env_states=env_states,
-        )
+    def collect_and_store(params, replay, env_states, warm_state, key, noise_scale):
+        if warm_policy is not None:
+            transitions, env_states, warm_state = fused_collect_stateful(
+                env,
+                lambda obs, k, ps, rm: warm_policy(params, obs, k, ps, rm),
+                key, args.num_envs, args.steps_per_iter,
+                warm_state, env_states=env_states,
+            )
+        else:
+            transitions, env_states = fused_collect(
+                env,
+                lambda obs, k: rollout_policy(params, obs, k),
+                key,
+                args.num_envs,
+                args.steps_per_iter,
+                env_states=env_states,
+            )
         flat = flatten_transitions(transitions)
         # Replay ``dones`` carries TERMINATED only (no time-limit truncation):
         # the value bootstrap and the continuation head must see time-limit
@@ -188,18 +212,22 @@ def main():
             flat.next_observations, flat.terminateds,
         )
         mean_reward = jnp.mean(flat.rewards)
-        return replay, env_states, mean_reward
+        return replay, env_states, warm_state, mean_reward
 
     logger = Logger(use_wandb=False, experiment_name=f"fused_{args.env}")
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
+    warm_state = ()
+    if warm_policy is not None:
+        key, wkey = jax.random.split(key)
+        warm_state = init_warm_state(wkey, args.num_envs, config.latent_dim)
     total_steps = 0
 
     for it in range(args.iterations):
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
-        replay, env_states, mean_reward = collect_and_store(
-            state.params, replay, env_states, ckey,
+        replay, env_states, warm_state, mean_reward = collect_and_store(
+            state.params, replay, env_states, warm_state, ckey,
             jnp.asarray(agent.exploration_noise),
         )
         total_steps += args.num_envs * args.steps_per_iter

@@ -384,3 +384,57 @@ def test_fused_pixel_training_slice():
     assert int(new_state.step) == 2
     for k in ("reconstruction_loss", "contrastive_loss", "policy_loss"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_fused_collect_stateful_warm_policy():
+    """Warm-start fused rollout: the belief carry threads through the scan,
+    resets at episode boundaries, and yields finite actions/latents."""
+    from active_inference_diffusion_tpu.agents.state_agent import DiffusionStateAgent
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        TrainingConfig,
+    )
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        fused_collect_stateful,
+        init_warm_state,
+        make_warm_rollout_policy,
+    )
+
+    env = Pendulum()
+    env.max_episode_steps = 4  # force episode boundaries inside the rollout
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, latent_dim=4, hidden_dim=16,
+        score_num_layers=1, batch_size=4,
+        diffusion=DiffusionConfig(num_diffusion_steps=6, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    agent = DiffusionStateAgent(3, 1, cfg, TrainingConfig())
+    params = agent.core.init_params(jax.random.PRNGKey(0))
+
+    warm = make_warm_rollout_policy(agent.core, env, num_steps=2)
+    n_envs, n_steps = 3, 10
+    w0 = init_warm_state(jax.random.PRNGKey(1), n_envs, cfg.latent_dim)
+
+    transitions, states, w1 = jax.jit(
+        lambda k, w: fused_collect_stateful(
+            env, lambda obs, kk, ps, rm: warm(params, obs, kk, ps, rm),
+            k, n_envs, n_steps, w,
+        )
+    )(jax.random.PRNGKey(2), w0)
+
+    assert transitions.actions.shape == (n_steps, n_envs, 1)
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
+    assert w1.shape == (n_envs, cfg.latent_dim)
+    assert np.isfinite(np.asarray(w1)).all()
+    assert not np.allclose(np.asarray(w1), np.asarray(w0))  # carry advanced
+    # episode boundaries occurred inside the rollout (reset path exercised)
+    assert np.asarray(transitions.dones).any()
+
+    # continue from the carried (env, warm) state
+    transitions2, _, w2 = fused_collect_stateful(
+        env, lambda obs, kk, ps, rm: warm(params, obs, kk, ps, rm),
+        jax.random.PRNGKey(3), n_envs, n_steps, w1, env_states=states,
+    )
+    assert np.isfinite(np.asarray(transitions2.rewards)).all()
+    assert not np.allclose(np.asarray(w2), np.asarray(w1))
