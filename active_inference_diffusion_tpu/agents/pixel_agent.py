@@ -52,6 +52,18 @@ class DiffusionPixelAgent(DiffusionStateAgent):
     ):
         # obs_shape: (T, C, H, W) frame-stacked or (C, H, W)
         self.pixel_config = pixel_config
+        # The reference's pixel agent hardcodes DrQV2 regardless of
+        # encoder_type (reference agents/pixel_agent.py:85-91 vs the unused
+        # EncoderFactory dispatch); we keep that behavior but fail loudly on
+        # other values instead of silently ignoring the field. MultiView /
+        # state encoders remain available standalone via
+        # models.encoders.EncoderFactory for custom pipelines.
+        if pixel_config.encoder_type != "drqv2":
+            raise NotImplementedError(
+                f"encoder_type={pixel_config.encoder_type!r}: the pixel agent "
+                "drives the DrQV2 encoder (as the reference does); build "
+                "other encoders via models.encoders.EncoderFactory"
+            )
         if len(obs_shape) == 4:
             self.frame_stack, c, h, w = obs_shape
         else:

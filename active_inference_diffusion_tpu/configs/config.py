@@ -21,12 +21,37 @@ class DiffusionConfig:
     beta_start: float = 1e-4
     beta_end: float = 0.02
     beta_schedule: str = "cosine"  # "cosine" | "linear"
+    # Validated reference-schema fields: only score prediction and the
+    # continuous-time score-matching objective are implemented — exactly the
+    # branches the reference takes (its own config declares these knobs but
+    # never reads them anywhere: zero uses outside configs/config.py in the
+    # reference tree). Setting them off fails loudly instead of silently.
     prediction_type: str = "score"
     use_continuous_time: bool = True
+    # Reference-schema compatibility, inert THERE TOO (zero reads outside its
+    # configs/config.py): the actual loss-weight anneal is the log-SNR +
+    # sin(pi t) weight of reference core/diffusion.py:93-104, implemented in
+    # core/diffusion.compute_loss_weight; the actual clip is
+    # ActiveInferenceConfig.gradient_clip.
     time_annealing_start: float = 1.0
     time_annealing_end: float = 0.1
     annealing_steps: int = 100_000
     gradient_clip_val: float = 0.1
+
+    def __post_init__(self):
+        if self.prediction_type != "score":
+            raise ValueError(
+                f"prediction_type={self.prediction_type!r}: only 'score' is "
+                "implemented (the reference also only ever computes score "
+                "targets; its config knob is decorative)"
+            )
+        if not self.use_continuous_time:
+            raise ValueError(
+                "use_continuous_time=False: only the continuous-time "
+                "score-matching objective is implemented (the only branch "
+                "the reference ever takes; discrete q_sample/p_sample serve "
+                "the belief sweep, not the training objective)"
+            )
 
 
 @dataclass
@@ -49,6 +74,10 @@ class BeliefDynamicsConfig:
     # time when use_belief_dynamics is set (extension field; the reference has
     # no step-count knob because nothing consumed its dynamics).
     refine_steps: int = 1
+    # Reference-schema compat, inert there too: the refinement operates on
+    # the agent's latent belief, whose dimension is
+    # ActiveInferenceConfig.latent_dim (the reference's standalone
+    # BeliefDynamics took its own dim because no agent ever constructed it).
     belief_dim: int = 50
     diffusion_coefficient: float = 0.1
     learning_rate: float = 0.1
@@ -144,8 +173,6 @@ class TpuConfig:
     # weight re-streaming dominates; bench.py measures both and reports the
     # faster.
     use_pallas_denoiser: bool = False
-    mesh_shape: Tuple[int, ...] = (1,)
-    mesh_axis_names: Tuple[str, ...] = ("dp",)
     donate_buffers: bool = True
     remat_score_network: bool = False  # jax.checkpoint the score net in the ELBO
 
@@ -160,12 +187,21 @@ class ActiveInferenceConfig:
     action_dim: int = 6
 
     # Active inference parameters
+    # Sensory-precision init for the standalone free-energy component
+    # (core/free_energy, consumed by
+    # DiffusionActiveInference.init_free_energy_state — the reference's only
+    # real consumer of this field, reference core/free_energy.py:20-24).
     precision_init: float = 1.0
+    # Reference-schema alias of efe_horizon (the reference declares it and
+    # reads neither, hardcoding horizon=5; __post_init__ folds a non-default
+    # value into efe_horizon so setting EITHER name works).
     expected_free_energy_horizon: int = 5
     efe_horizon: int = 5
     num_efe_trajectories: int = 10
     num_ambiguity_samples: int = 10
     epistemic_weight: float = 0.1
+    # Reference-schema alias of pragmatic_weight (same treatment as
+    # expected_free_energy_horizon above).
     extrinsic_weight: float = 1.0
     pragmatic_weight: float = 1.0
     consistency_weight: float = 0.1
@@ -365,6 +401,9 @@ class ActiveInferenceConfig:
     batch_size: int = 256
     learning_rate: float = 5e-5
     gradient_clip: float = 0.5
+    # Reference-schema compat, inert in the reference too (its score group is
+    # clipped with the same global gradient_clip as every other group,
+    # reference agents/state_agent.py:151-158).
     score_gradient_clip: float = 0.1
     ema_decay: float = 0.9999
     # Act/eval with the EMA shadow of the score network (standard diffusion
@@ -373,7 +412,13 @@ class ActiveInferenceConfig:
     use_ema_for_act: bool = False
     epistemic_update_every: int = 5
 
-    # Reward-oriented active inference
+    # Reward-oriented active inference. preference_temperature initializes
+    # the train-state scalar the EFE pragmatic term divides by (reference
+    # core/active_inference.py:68-70, 353). The remaining knobs are
+    # reference-schema compat and inert in the reference too — it declares a
+    # temperature adaptation scheme it never implements (zero reads outside
+    # its configs/config.py), so the temperature stays at its init there and
+    # here.
     preference_temperature: float = 1.0
     preference_learning_rate: float = 0.01
     min_preference_temperature: float = 0.1
@@ -392,6 +437,28 @@ class ActiveInferenceConfig:
     # Accepted for schema compatibility with the reference; device placement is
     # managed by JAX (jax.devices()), not this field.
     device: str = "tpu"
+
+    def __post_init__(self):
+        # Reference-schema aliases: the reference declares BOTH names and
+        # reads neither; here the short name is the real knob, and setting
+        # only the long/legacy name folds into it instead of being silently
+        # ignored. Setting both to different non-defaults is ambiguous.
+        if self.expected_free_energy_horizon != 5:
+            if self.efe_horizon not in (5, self.expected_free_energy_horizon):
+                raise ValueError(
+                    "expected_free_energy_horizon and efe_horizon are "
+                    "aliases; set one"
+                )
+            self.efe_horizon = self.expected_free_energy_horizon
+        self.expected_free_energy_horizon = self.efe_horizon
+        if self.extrinsic_weight != 1.0:
+            if self.pragmatic_weight not in (1.0, self.extrinsic_weight):
+                raise ValueError(
+                    "extrinsic_weight and pragmatic_weight are aliases; "
+                    "set one"
+                )
+            self.pragmatic_weight = self.extrinsic_weight
+        self.extrinsic_weight = self.pragmatic_weight
 
 
 @dataclass

@@ -1112,6 +1112,16 @@ class DiffusionActiveInference:
             latent, key, fp_cfg, free_energy_fn, num_steps=bd.refine_steps
         )
 
+    def init_free_energy_state(self) -> jnp.ndarray:
+        """Learnable log sensory precision for the standalone variational
+        free-energy component (core/free_energy), initialized from
+        ``config.precision_init`` — the reference's only real consumer of
+        that field (reference core/free_energy.py:20-24; exported-but-unwired
+        there exactly like the component itself, core/__init__.py:7)."""
+        from . import free_energy
+
+        return free_energy.init_free_energy_state(self.config.precision_init)
+
     # ------------------------------------------------------------------
     # Action selection (reference :478-531)
     # ------------------------------------------------------------------

@@ -364,3 +364,62 @@ def test_policy_lr_decay_anneals_actor_updates():
     assert psizes[-1] < 0.2 * psizes[0]
     vsizes = run(opts["value"], 100)
     assert vsizes[-1] > 0.9 * vsizes[0]  # non-policy groups undecayed
+
+
+# ---------------------------------------------------------------------------
+# No silently-ignored config fields (round-1 VERDICT weak-flag class)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_schema_aliases_fold_into_real_knobs():
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, expected_free_energy_horizon=7,
+        extrinsic_weight=0.5,
+    )
+    assert cfg.efe_horizon == 7
+    assert cfg.pragmatic_weight == 0.5
+    # both names set consistently is fine
+    cfg2 = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, efe_horizon=9,
+        expected_free_energy_horizon=9,
+    )
+    assert cfg2.efe_horizon == 9
+    with pytest.raises(ValueError, match="alias"):
+        ActiveInferenceConfig(
+            observation_dim=3, action_dim=1, efe_horizon=3,
+            expected_free_energy_horizon=7,
+        )
+
+
+def test_unimplemented_diffusion_modes_fail_loudly():
+    with pytest.raises(ValueError, match="prediction_type"):
+        DiffusionConfig(prediction_type="epsilon")
+    with pytest.raises(ValueError, match="continuous"):
+        DiffusionConfig(use_continuous_time=False)
+
+
+def test_pixel_agent_rejects_unimplemented_encoder_type():
+    from active_inference_diffusion_tpu.agents.pixel_agent import (
+        DiffusionPixelAgent,
+    )
+    from active_inference_diffusion_tpu.configs.config import (
+        PixelObservationConfig,
+    )
+
+    cfg = ActiveInferenceConfig(
+        observation_dim=4, action_dim=1, latent_dim=4, hidden_dim=16,
+        score_num_layers=1,
+        diffusion=DiffusionConfig(num_diffusion_steps=2, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    with pytest.raises(NotImplementedError, match="encoder_type"):
+        DiffusionPixelAgent(
+            (3, 16, 16), 1, cfg, TrainingConfig(),
+            PixelObservationConfig(encoder_type="multiview"),
+        )
+
+
+def test_precision_init_reaches_free_energy_state():
+    agent = make_agent(precision_init=2.5)
+    state = agent.core.init_free_energy_state()
+    np.testing.assert_allclose(float(jnp.exp(state)), 2.5, rtol=1e-6)
