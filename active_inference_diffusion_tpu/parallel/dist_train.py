@@ -121,6 +121,7 @@ def make_sharded_fused_collect(
     num_steps: int,
     axis: str = "dp",
     steps_per_dispatch: Optional[int] = None,
+    stateful: bool = False,
 ) -> Callable:
     """Fused on-device rollout sharded over the mesh.
 
@@ -144,10 +145,17 @@ def make_sharded_fused_collect(
     killed on this deployment (same rule as
     ``TrainingConfig.epoch_chunk_updates`` for the train path) — set this
     whenever ``num_steps`` × per-step cost can exceed ~1 min.
+
+    ``stateful=True`` switches to the warm-start protocol of
+    ``envs/jax_envs.fused_collect_stateful``: ``policy_fn(params, obs, key,
+    policy_state, reset_mask) -> (actions, policy_state)``, with the per-env
+    policy state (e.g. the carried belief of ``make_warm_rollout_policy``)
+    sharded over ``axis`` alongside the envs. The returned ``collect`` then
+    takes and returns ``(transitions, env_states, policy_state)``.
     """
     from jax import shard_map
 
-    from ..envs.jax_envs import Transitions, fused_collect
+    from ..envs.jax_envs import Transitions, fused_collect, fused_collect_stateful
 
     n = int(mesh.shape[axis])
     if num_envs % n != 0:
@@ -163,43 +171,67 @@ def make_sharded_fused_collect(
         )
     num_dispatches = num_steps // chunk
 
-    def _local(params, key, env_states):
+    if stateful:
+        inner_policy = policy_fn
+    else:
+        # Lift the stateless policy into the stateful protocol with an empty
+        # (leafless) carry — it threads through shard_map/scan for free.
+        def inner_policy(params, obs, k, ps, rm):
+            return policy_fn(params, obs, k), ps
+
+    def _local(params, key, env_states, pstate):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        return fused_collect(
-            env, lambda obs, k: policy_fn(params, obs, k), key,
-            local, chunk, env_states=env_states,
+        return fused_collect_stateful(
+            env,
+            lambda obs, k, ps, rm: inner_policy(params, obs, k, ps, rm),
+            key, local, chunk, pstate, env_states=env_states,
         )
 
-    out_specs = (P(None, axis), P(axis))
+    out_specs = (P(None, axis), P(axis), P(axis))
     with_states = jax.jit(
         shard_map(
             _local, mesh=mesh,
-            in_specs=(P(), P(), P(axis)), out_specs=out_specs,
+            in_specs=(P(), P(), P(axis), P(axis)), out_specs=out_specs,
             check_vma=False,
         )
     )
     fresh = jax.jit(
         shard_map(
-            lambda params, key: _local(params, key, None), mesh=mesh,
-            in_specs=(P(), P()), out_specs=out_specs,
+            lambda params, key, pstate: _local(params, key, None, pstate),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis)), out_specs=out_specs,
             check_vma=False,
         )
     )
 
-    def collect(params, key, env_states=None):
+    def collect_stateful(params, key, policy_state, env_states=None):
         chunks = []
         for i in range(num_dispatches):
             ckey = jax.random.fold_in(key, i)
             if env_states is None:
-                transitions, env_states = fresh(params, ckey)
+                transitions, env_states, policy_state = fresh(
+                    params, ckey, policy_state
+                )
             else:
-                transitions, env_states = with_states(params, ckey, env_states)
+                transitions, env_states, policy_state = with_states(
+                    params, ckey, env_states, policy_state
+                )
             chunks.append(transitions)
-        if num_dispatches == 1:
-            return chunks[0], env_states
-        merged = Transitions(
-            *[jnp.concatenate(parts, axis=0) for parts in zip(*chunks)]
+        if num_dispatches > 1:
+            transitions = Transitions(
+                *[jnp.concatenate(parts, axis=0) for parts in zip(*chunks)]
+            )
+        else:
+            transitions = chunks[0]
+        return transitions, env_states, policy_state
+
+    if stateful:
+        return collect_stateful
+
+    def collect(params, key, env_states=None):
+        transitions, env_states, _ = collect_stateful(
+            params, key, (), env_states=env_states
         )
-        return merged, env_states
+        return transitions, env_states
 
     return collect

@@ -216,3 +216,47 @@ def test_sharded_fused_collect_steps_per_dispatch():
             env, random_policy, mesh, num_envs=16, num_steps=10,
             steps_per_dispatch=4,
         )
+
+
+def test_sharded_fused_collect_stateful_warm():
+    """Warm-start belief carry composes with the dp-sharded rollout: the
+    per-env policy state shards over dp and round-trips through chunked
+    dispatches."""
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        Pendulum,
+        init_warm_state,
+        make_warm_rollout_policy,
+    )
+    from active_inference_diffusion_tpu.parallel.dist_train import (
+        make_sharded_fused_collect,
+    )
+
+    env = Pendulum()
+    cfg = ActiveInferenceConfig(
+        observation_dim=3, action_dim=1, latent_dim=8, hidden_dim=32,
+        score_num_layers=1, batch_size=8,
+        diffusion=DiffusionConfig(num_diffusion_steps=4, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    agent = DiffusionStateAgent(3, 1, cfg, TrainingConfig(buffer_size=64))
+    params = agent.core.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(shape=(8, 1))
+    n_envs, n_steps = 16, 6
+
+    warm = make_warm_rollout_policy(agent.core, env, num_steps=2)
+    collect = make_sharded_fused_collect(
+        env, warm, mesh, n_envs, n_steps, stateful=True,
+        steps_per_dispatch=3,
+    )
+    w0 = init_warm_state(jax.random.PRNGKey(1), n_envs, cfg.latent_dim)
+    transitions, states, w1 = collect(params, jax.random.PRNGKey(2), w0)
+    assert transitions.observations.shape == (n_steps, n_envs, 3)
+    assert transitions.observations.sharding.spec[1] == "dp"
+    assert w1.shape == w0.shape
+    assert w1.sharding.spec[0] == "dp"
+    assert np.isfinite(np.asarray(w1)).all()
+    assert not np.allclose(np.asarray(w1), np.asarray(w0))
+    # continue with carried env + warm state
+    t2, _, w2 = collect(params, jax.random.PRNGKey(3), w1, env_states=states)
+    assert np.isfinite(np.asarray(t2.rewards)).all()
+    assert not np.allclose(np.asarray(w2), np.asarray(w1))
