@@ -221,6 +221,5 @@ class DiffusionPixelAgent(DiffusionStateAgent):
                 jnp.asarray(self.exploration_noise, jnp.float32),
                 deterministic=deterministic,
                 num_steps=num_steps,
-                epistemic_running_mean=state.epistemic_running_mean,
             )
         )

@@ -79,7 +79,6 @@ class DiffusionStateAgent(BaseAgent):
         exploration_noise: jnp.ndarray,
         deterministic: bool = False,
         num_steps: Optional[int] = None,
-        epistemic_running_mean: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         feat_key, act_key, noise_key = jax.random.split(key, 3)
         # Featurization hook: identity for states, conv encoder for pixels
@@ -88,16 +87,13 @@ class DiffusionStateAgent(BaseAgent):
         if self.config.plan_candidates > 0:
             # EFE-based selection over candidate actions (active-inference
             # decision rule; see core.act_planned). Deterministic eval uses
-            # argmin-EFE regardless of plan_temperature. The trained MINE
-            # EMA (AgentTrainState.epistemic_running_mean) seeds the
-            # epistemic term's logsumexp baseline.
+            # argmin-EFE regardless of plan_temperature.
             action, _ = self.core.act_planned(
                 params, act_key, features,
                 plan_temperature=(
                     0.0 if deterministic else self.config.plan_temperature
                 ),
                 num_steps=num_steps,
-                epistemic_running_mean=epistemic_running_mean,
                 # Pixel agents chunk the planning-EFE's epistemic decoder
                 # probes by batch (same OOM guard as the train step).
                 probe_chunk_rows=self._epistemic_probe_chunk(
@@ -243,7 +239,6 @@ class DiffusionStateAgent(BaseAgent):
                 jnp.asarray(self.exploration_noise, jnp.float32),
                 deterministic=deterministic,
                 num_steps=num_steps,
-                epistemic_running_mean=state.epistemic_running_mean,
             )
         )
 
@@ -509,7 +504,6 @@ class DiffusionStateAgent(BaseAgent):
                 p = merged(new_params, sub)
                 efe, efe_info = core.compute_expected_free_energy(
                     p, latents, policy_key, state.preference_temperature,
-                    state.epistemic_running_mean,
                 )
                 anchor = policy_anchor(p["policy"])
                 efe_info = dict(efe_info, policy_anchor_kl=anchor)

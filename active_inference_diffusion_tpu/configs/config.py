@@ -125,6 +125,41 @@ class SemanticsConfig:
 
     mode: str = "corrected"  # "corrected" | "faithful"
 
+    # The reference's continuous-time score-matching target is
+    # -eps / sigma, dividing by the VARIANCE, not the true score
+    # -eps / sqrt(sigma) (reference core/active_inference.py:594-595;
+    # continuous_q_sample defines z_t = sqrt(alpha) z0 + sqrt(sigma) eps, so
+    # grad_z log q(z_t|z0) = -eps/sqrt(sigma)). Unlike the sign bugs above
+    # this mis-scaling CO-ADAPTS with the rest of the system — the reverse
+    # sweep consumes the same network the objective trains, and every tuned
+    # preset/result in this repo (HalfCheetah +4486 etc.) was obtained under
+    # it — so corrected mode KEEPS the reference scaling unless this is set
+    # to "standard" (train toward the true score; untested at preset scale).
+    # Faithful mode always uses the reference scaling. See DEVIATIONS.md.
+    score_target_convention: Optional[str] = None  # None|"reference"|"standard"
+
+    def __post_init__(self):
+        if self.mode not in ("corrected", "faithful"):
+            raise ValueError(f"Unknown semantics mode {self.mode!r}")
+        if self.score_target_convention not in (None, "reference", "standard"):
+            raise ValueError(
+                "score_target_convention must be None, 'reference', or "
+                f"'standard'; got {self.score_target_convention!r}"
+            )
+        if self.mode == "faithful" and self.score_target_convention == "standard":
+            raise ValueError(
+                "faithful mode replicates the reference's literal math; it "
+                "cannot use the standard score-target convention"
+            )
+
+    @property
+    def score_target_uses_std(self) -> bool:
+        """True -> train toward the true score -eps/std; False -> the
+        reference's -eps/variance."""
+        if self.mode == "faithful":
+            return False
+        return (self.score_target_convention or "reference") == "standard"
+
     @property
     def pragmatic_sign(self) -> float:
         return 1.0 if self.mode == "faithful" else -1.0

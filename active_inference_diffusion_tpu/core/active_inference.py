@@ -500,58 +500,40 @@ class DiffusionActiveInference:
                     else jnp.float32
                 ),
             )
-            result = dproc.DenoiseResult(latent=latent, trajectory=None)
-            latent_mean = jnp.mean(latent, axis=0)
-            latent_std = jnp.where(
-                batch_size > 1,
-                jnp.std(latent, axis=0, ddof=1),
-                jnp.zeros_like(latent_mean),
-            )
-            if compute_reconstruction:
-                decoded = self.decode_observation(
-                    params, latent,
-                    decode_to_pixels=False if self.is_pixel else True,
+            trajectory = None
+        else:
+            step_keys = jax.random.split(scan_key, k)
+
+            def body(z, inputs):
+                t_scalar, t_emb, step_key = inputs
+                conditioning = obs_emb + t_emb[None, :]
+                score = self.score_network.apply(
+                    variables, z, conditioning, None, method="trunk"
                 )
-                reconstruction_error = jnp.mean((decoded - observation) ** 2)
-            else:
-                reconstruction_error = jnp.zeros((), dtype=latent.dtype)
-            return BeliefInfo(
-                latent=latent,
-                latent_mean=latent_mean,
-                latent_std=latent_std,
-                reconstruction_error=reconstruction_error,
-                trajectory=None,
-            )
+                t_batch = jnp.full((batch_size,), t_scalar, dtype=jnp.int32)
+                noise = jax.random.normal(step_key, z.shape, dtype=dtype)
+                z_next = dproc.p_sample(
+                    self.schedule, z, t_batch, score, noise,
+                    deterministic=deterministic,
+                )
+                return z_next, (z_next if return_trajectory else None)
 
-        step_keys = jax.random.split(scan_key, k)
-
-        def body(z, inputs):
-            t_scalar, t_emb, step_key = inputs
-            conditioning = obs_emb + t_emb[None, :]
-            score = self.score_network.apply(
-                variables, z, conditioning, None, method="trunk"
-            )
-            t_batch = jnp.full((batch_size,), t_scalar, dtype=jnp.int32)
-            noise = jax.random.normal(step_key, z.shape, dtype=dtype)
-            z_next = dproc.p_sample(
-                self.schedule, z, t_batch, score, noise, deterministic=deterministic
-            )
-            return z_next, (z_next if return_trajectory else None)
-
-        latent, traj = jax.lax.scan(body, z_init, (timesteps, t_embs, step_keys))
-        result = dproc.DenoiseResult(
-            latent=latent,
-            trajectory=(
+            latent, traj = jax.lax.scan(body, z_init, (timesteps, t_embs, step_keys))
+            trajectory = (
                 jnp.concatenate([z_init[None], traj], axis=0)
                 if return_trajectory
                 else None
-            ),
-        )
+            )
 
         latent_mean = jnp.mean(latent, axis=0)
-        latent_std = jnp.where(
-            batch_size > 1, jnp.std(latent, axis=0, ddof=1), jnp.zeros_like(latent_mean)
-        )
+        # batch_size is a static Python int: branch in Python. (A traced
+        # jnp.where would still EVALUATE std(ddof=1) at batch 1 — a 0/0 NaN
+        # whose zero cotangent turns into NaN gradients through the
+        # differentiable-sweep path.)
+        if batch_size > 1:
+            latent_std = jnp.std(latent, axis=0, ddof=1)
+        else:
+            latent_std = jnp.zeros_like(latent_mean)
 
         if compute_reconstruction:
             decoded = self.decode_observation(
@@ -566,7 +548,7 @@ class DiffusionActiveInference:
             latent_mean=latent_mean,
             latent_std=latent_std,
             reconstruction_error=reconstruction_error,
-            trajectory=result.trajectory,
+            trajectory=trajectory,
         )
 
     # ------------------------------------------------------------------
@@ -579,7 +561,6 @@ class DiffusionActiveInference:
         latent: jnp.ndarray,
         key: jax.Array,
         preference_temperature: jnp.ndarray,
-        epistemic_running_mean: Optional[jnp.ndarray] = None,
         horizon: Optional[int] = None,
         num_trajectories: Optional[int] = None,
         include_epistemic: Optional[bool] = None,
@@ -632,8 +613,7 @@ class DiffusionActiveInference:
                 train=False,
             )
 
-        def step(carry, inputs):
-            z, rm = carry
+        def step(z, inputs):
             t_idx, step_key = inputs
             pol_key, dyn_key, epi_key = jax.random.split(step_key, 3)
 
@@ -675,7 +655,11 @@ class DiffusionActiveInference:
                     jax.lax.stop_gradient(next_mean),
                     jax.lax.stop_gradient(next_logvar),
                     epi_key,
-                    rm,
+                    # The MINE EMA state only shapes the estimator's BACKWARD
+                    # (custom_vjp); this rollout consumes the value under
+                    # stop_gradient with train=False, so the forward is
+                    # independent of it — no state to thread.
+                    jnp.zeros((), dtype=z.dtype),
                     num_samples=cfg.num_ambiguity_samples,
                     train=False,
                     # Pixel agents chunk the ConvDecoder probe expansion
@@ -684,7 +668,6 @@ class DiffusionActiveInference:
                     probe_chunk_rows=probe_chunk_rows,
                 )
                 epistemic = jax.lax.stop_gradient(result.value)
-                rm = result.running_mean
             else:
                 epistemic = jnp.zeros((n,), dtype=z.dtype)
 
@@ -704,17 +687,12 @@ class DiffusionActiveInference:
                 jnp.mean(pragmatic),
                 jnp.mean(consistency),
             )
-            return (next_z, rm), (discount * step_efe, metrics)
+            return next_z, (discount * step_efe, metrics)
 
-        rm0 = (
-            epistemic_running_mean
-            if epistemic_running_mean is not None
-            else jnp.zeros((), dtype=latent.dtype)
-        )
         t_indices = jnp.arange(horizon, dtype=latent.dtype)
         step_keys = jax.random.split(key, horizon)
-        (_, _), (step_efes, metrics) = jax.lax.scan(
-            step, (z0, rm0), (t_indices, step_keys)
+        _, (step_efes, metrics) = jax.lax.scan(
+            step, z0, (t_indices, step_keys)
         )
 
         # (H, T*B) -> per-original-batch EFE averaged over trajectories
@@ -954,7 +932,19 @@ class DiffusionActiveInference:
             score_at = jax.checkpoint(score_at)
 
         predicted_score = score_at(noisy_latents)
-        true_score = -noise / (qinfo["sigma"] + 1e-8)
+        # Score target: the reference regresses toward -eps/VARIANCE
+        # (reference :594-595) though the true score of continuous_q_sample's
+        # z_t = sqrt(alpha) z0 + sqrt(sigma) eps is -eps/sqrt(sigma). Kept by
+        # default in both modes because the system co-adapts around it and
+        # every tuned preset was trained under it; gated by
+        # SemanticsConfig.score_target_convention ("standard" -> true score).
+        # See DEVIATIONS.md.
+        denom = (
+            jnp.sqrt(qinfo["sigma"])
+            if self.config.semantics.score_target_uses_std
+            else qinfo["sigma"]
+        )
+        true_score = -noise / (denom + 1e-8)
         loss_weight = dproc.compute_loss_weight(params["diffusion"], t)
         score_diff = predicted_score - true_score
         per_sample = loss_weight * jnp.sum(score_diff**2, axis=1)
@@ -1208,7 +1198,6 @@ class DiffusionActiveInference:
         plan_temperature: Optional[float] = None,
         num_steps: Optional[int] = None,
         preference_temperature: Optional[jnp.ndarray] = None,
-        epistemic_running_mean: Optional[jnp.ndarray] = None,
         probe_chunk_rows: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """EFE-based action selection (active-inference decision rule).
@@ -1241,7 +1230,9 @@ class DiffusionActiveInference:
         temp = cfg.plan_temperature if plan_temperature is None else plan_temperature
         if observation.ndim == 1:
             observation = observation[None]
-        belief_key, cand_key, efe_key, choose_key = jax.random.split(key, 4)
+        belief_key, fp_key, cand_key, efe_key, choose_key = jax.random.split(
+            key, 5
+        )
 
         if cfg.act_from_posterior:
             latent = self.sample_posterior(
@@ -1256,7 +1247,9 @@ class DiffusionActiveInference:
             )
             latent = belief.latent  # (B, D)
         if cfg.belief_dynamics.use_belief_dynamics:
-            fp_key, belief_key = jax.random.split(belief_key)
+            # fp_key is split from the TOP-level key: splitting the
+            # already-consumed belief_key would collide bit-for-bit with
+            # generate_beliefs' internal init_key (single-use key contract).
             latent = self.refine_beliefs(params, fp_key, latent, observation)
         batch = latent.shape[0]
 
@@ -1277,16 +1270,9 @@ class DiffusionActiveInference:
             if preference_temperature is not None
             else jnp.asarray(cfg.preference_temperature)
         )
-        rm0 = (
-            epistemic_running_mean
-            if epistemic_running_mean is not None
-            else jnp.zeros((), dtype=latent.dtype)
-        )
-
         def score_candidate(action):
             efe, _ = self.compute_expected_free_energy(
                 params, latent, efe_key, pref, first_action=action,
-                epistemic_running_mean=rm0,
                 include_epistemic=cfg.epistemic_weight != 0.0,
                 probe_chunk_rows=probe_chunk_rows,
             )

@@ -255,25 +255,27 @@ def compute_jacobian_probes(
 
     if use_finite_differences:
         eps = perturbation_scale
-        f_z = decoder_fn(z)
 
         if chunk_rows is None:
+            f_z = decoder_fn(z)
 
             def probe_fd(d):
                 return (decoder_fn(z + d * eps) - f_z) / eps
 
             return jax.vmap(probe_fd)(dirs)
 
-        f_blocks = f_z.reshape((blocks, chunk_rows) + f_z.shape[1:])
-
+        # The baseline decode f(zb) happens PER BLOCK too: decoding the full
+        # row batch once up front would itself be the megabatch conv
+        # activation spike the chunking exists to avoid (one extra decode
+        # per block; same total FLOPs as a hoisted baseline, bounded memory).
         def probe_dir_fd(d):
             d_blocks = d.reshape(blocks, chunk_rows, z.shape[-1])
 
             def one_block_fd(args):
-                zb, db, fb = args
-                return (decoder_fn(zb + db * eps) - fb) / eps
+                zb, db = args
+                return (decoder_fn(zb + db * eps) - decoder_fn(zb)) / eps
 
-            out = jax.lax.map(one_block_fd, (z_blocks, d_blocks, f_blocks))
+            out = jax.lax.map(one_block_fd, (z_blocks, d_blocks))
             return out.reshape((n,) + out.shape[2:])
 
         return jax.lax.map(probe_dir_fd, dirs)

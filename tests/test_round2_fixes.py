@@ -423,3 +423,39 @@ def test_precision_init_reaches_free_energy_state():
     agent = make_agent(precision_init=2.5)
     state = agent.core.init_free_energy_state()
     np.testing.assert_allclose(float(jnp.exp(state)), 2.5, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Score-target convention gate (DEVIATIONS row 11)
+# ---------------------------------------------------------------------------
+
+
+def test_score_target_convention_gate():
+    from active_inference_diffusion_tpu.configs.config import SemanticsConfig
+
+    assert SemanticsConfig().score_target_uses_std is False  # default: reference
+    assert SemanticsConfig(
+        score_target_convention="standard"
+    ).score_target_uses_std is True
+    assert SemanticsConfig(mode="faithful").score_target_uses_std is False
+    with pytest.raises(ValueError, match="faithful"):
+        SemanticsConfig(mode="faithful", score_target_convention="standard")
+
+    # The convention changes the training objective's value.
+    agent_ref = make_agent()
+    agent_std = make_agent()
+    agent_std.config.semantics.score_target_convention = "standard"
+    params = agent_ref.core.init_params(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (6, 5))
+    latents = jax.random.normal(jax.random.PRNGKey(2), (6, 8))
+    key = jax.random.PRNGKey(3)
+
+    ti = jnp.zeros((100,))  # uniform time-importance bins
+
+    def score_loss(agent):
+        terms = agent.core.elbo_terms(
+            params, key, obs, jnp.zeros((6,)), latents, ti, train=False,
+        )
+        return float(terms["score_matching_loss"])
+
+    assert score_loss(agent_ref) != score_loss(agent_std)
