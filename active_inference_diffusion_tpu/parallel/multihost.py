@@ -30,9 +30,18 @@ def initialize(
     """Initialize cross-host JAX. On TPU pods all arguments are discovered
     from the environment; pass them explicitly for CPU/GPU clusters. No-op if
     the distributed runtime is already initialized or unneeded (1 process).
+
+    Must run before ANY backend-touching JAX call — including
+    ``jax.process_count()``/``jax.devices()`` — so the already-initialized
+    check reads the distributed client state directly instead of asking the
+    backend (calling process_count() here would itself initialize XLA and
+    make the real multi-process path always fail; caught by
+    tests/test_multihost_mp.py's two-process run).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # distributed runtime already initialized
     if coordinator_address is None and num_processes in (None, 1):
         return  # single process, nothing to do
     jax.distributed.initialize(
