@@ -438,3 +438,35 @@ def test_fused_collect_stateful_warm_policy():
     )
     assert np.isfinite(np.asarray(transitions2.rewards)).all()
     assert not np.allclose(np.asarray(w2), np.asarray(w1))
+
+
+def test_scale_action_affine_and_symmetric():
+    """scale_action: symmetric envs reduce to action*high; per-dimension
+    asymmetric bounds map [-1,1] -> [low, high] exactly (the MJXEnv
+    heterogeneous-ctrlrange contract)."""
+    from active_inference_diffusion_tpu.envs.jax_envs import JaxEnv
+
+    env = Pendulum()  # symmetric +-2
+    a = jnp.array([-1.0, -0.5, 0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(env.scale_action(a)), np.asarray(a) * 2.0)
+
+    class Hetero(JaxEnv):
+        action_dim = 2
+        action_low = jnp.array([-1.0, -0.4])
+        action_high = jnp.array([1.0, 0.4])
+
+    h = Hetero()
+    out = np.asarray(h.scale_action(jnp.array([1.0, 1.0])))
+    np.testing.assert_allclose(out, [1.0, 0.4])
+    out = np.asarray(h.scale_action(jnp.array([-1.0, -1.0])))
+    np.testing.assert_allclose(out, [-1.0, -0.4])
+
+    class Asym(JaxEnv):
+        action_dim = 1
+        action_low = jnp.array([0.0])
+        action_high = jnp.array([3.0])
+
+    a2 = Asym()
+    np.testing.assert_allclose(np.asarray(a2.scale_action(jnp.array([-1.0]))), [0.0])
+    np.testing.assert_allclose(np.asarray(a2.scale_action(jnp.array([0.0]))), [1.5])
+    np.testing.assert_allclose(np.asarray(a2.scale_action(jnp.array([1.0]))), [3.0])
