@@ -420,6 +420,18 @@ def flatten_transitions(t: Transitions) -> Transitions:
     )
 
 
+def _policy_head(core, env, params, latent, act_key, deterministic):
+    """Shared tail of every rollout policy: policy dist -> (squashed) sample
+    -> env action scaling."""
+    from ..models.policy import sample_action
+
+    dist = core.apply_policy(params["policy"], latent)
+    action, _ = sample_action(
+        dist, act_key, deterministic=deterministic, squash=core.policy_squash
+    )
+    return env.scale_action(jnp.clip(action, -1.0, 1.0))
+
+
 def make_rollout_policy(
     core,
     env: JaxEnv,
@@ -447,7 +459,6 @@ def make_rollout_policy(
     encoder (pixel agents: ``lambda p, o, k: agent._apply_encoder(p, o, k,
     augment=False, train=False)``).
     """
-    from ..models.policy import sample_action
 
     def policy_fn(params, obs, key):
         enc_key, belief_key, act_key = jax.random.split(key, 3)
@@ -466,12 +477,7 @@ def make_rollout_policy(
                 deterministic=deterministic or deterministic_beliefs,
             )
             latent = belief.latent
-        dist = core.apply_policy(params["policy"], latent)
-        action, _ = sample_action(
-            dist, act_key, deterministic=deterministic,
-            squash=core.policy_squash,
-        )
-        return env.scale_action(jnp.clip(action, -1.0, 1.0))
+        return _policy_head(core, env, params, latent, act_key, deterministic)
 
     return policy_fn
 
@@ -497,7 +503,6 @@ def make_warm_rollout_policy(
     (actions, latent)``; seed the scan carry with
     ``init_warm_state(key, num_envs, latent_dim)``.
     """
-    from ..models.policy import sample_action
 
     def policy_fn(params, obs, key, prev_latent, reset_mask):
         enc_key, belief_key, act_key, reset_key = jax.random.split(key, 4)
@@ -510,12 +515,10 @@ def make_warm_rollout_policy(
             compute_reconstruction=False, z_init=z_prev,
             deterministic=deterministic,
         )
-        dist = core.apply_policy(params["policy"], belief.latent)
-        action, _ = sample_action(
-            dist, act_key, deterministic=deterministic,
-            squash=core.policy_squash,
+        actions = _policy_head(
+            core, env, params, belief.latent, act_key, deterministic
         )
-        return env.scale_action(jnp.clip(action, -1.0, 1.0)), belief.latent
+        return actions, belief.latent
 
     return policy_fn
 

@@ -370,13 +370,14 @@ def main():
         fparams = fagent.core.init_params(jax.random.PRNGKey(7))
         n_envs, n_steps = 1024, 64
 
+        from active_inference_diffusion_tpu.envs.jax_envs import (
+            make_rollout_policy,
+        )
+
+        rollout_policy = make_rollout_policy(fagent.core, env)
+
         def policy_fn(obs_b, k):
-            belief_key, act_key = jax.random.split(k)
-            belief = fagent.core.generate_beliefs(
-                fparams, belief_key, obs_b, compute_reconstruction=False
-            )
-            dist = fagent.core.apply_policy(fparams["policy"], belief.latent)
-            return env.scale_action(jnp.clip(dist.sample(act_key), -1.0, 1.0))
+            return rollout_policy(fparams, obs_b, k)
 
         @jax.jit
         def collect(key, env_states):
@@ -484,16 +485,19 @@ def main():
         pparams = pagent.init_train_state(jax.random.PRNGKey(11)).params
         pn_envs, pn_steps = 128, 32
 
+        from active_inference_diffusion_tpu.envs.jax_envs import (
+            make_rollout_policy as _make_rollout_policy,
+        )
+
+        pixel_rollout = _make_rollout_policy(
+            pagent.core, penv,
+            encode_fn=lambda p, o, k: pagent._apply_encoder(
+                p, o, k, augment=False, train=False
+            ),
+        )
+
         def pixel_policy_fn(obs_b, k):
-            enc_key, belief_key, act_key = jax.random.split(k, 3)
-            feats = pagent._apply_encoder(
-                pparams, obs_b, enc_key, augment=False, train=False
-            )
-            belief = pagent.core.generate_beliefs(
-                pparams, belief_key, feats, compute_reconstruction=False
-            )
-            dist = pagent.core.apply_policy(pparams["policy"], belief.latent)
-            return penv.scale_action(jnp.clip(dist.sample(act_key), -1.0, 1.0))
+            return pixel_rollout(pparams, obs_b, k)
 
         @jax.jit
         def pixel_collect(key, env_states):
