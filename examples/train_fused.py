@@ -60,6 +60,11 @@ def main():
                              "lax.scan (agent.train_epoch) — essential "
                              "through a remote chip")
     parser.add_argument("--buffer-size", type=int, default=50_000)
+    parser.add_argument("--score-target", default=None,
+                        choices=["reference", "standard"],
+                        help="score-matching target convention "
+                             "(SemanticsConfig.score_target_convention; "
+                             "DEVIATIONS.md row 11)")
     parser.add_argument("--warm-start-steps", type=int, default=0,
                         help="collect with warm-start partial denoising: "
                              "carry each env's belief across control steps "
@@ -145,6 +150,7 @@ def main():
         predict_continuation=args.predict_continuation,
         diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
     )
+    config.semantics.score_target_convention = args.score_target
     training_config = TrainingConfig(buffer_size=args.buffer_size)
     agent = DiffusionStateAgent(
         env.observation_dim, env.action_dim, config, training_config
