@@ -264,6 +264,14 @@ def make_jax_env(name: str) -> JaxEnv:
 
         cls = PendulumPixels if name == "PendulumPixels-v0" else ReacherPixels
         return cls()
+    if name.endswith("Planar-v0"):
+        # From-scratch planar physics for the 2D MuJoCo tasks: exact smooth
+        # dynamics + exact -v4 task semantics, penalty-approximate contacts
+        # (envs/planar.py). Distinct names keep the approximation explicit —
+        # returns are not directly comparable to gym.make.
+        from .planar import PlanarMJCEnv
+
+        return PlanarMJCEnv(name.replace("Planar-v0", "-v4"))
     # MuJoCo tasks route to the MJX adapter (exact Gymnasium -v4 semantics,
     # envs/mujoco_tasks.py); raises a clear ImportError when mujoco-mjx is
     # not installed.
@@ -275,7 +283,9 @@ def make_jax_env(name: str) -> JaxEnv:
         return MJXEnv(name)
     raise ValueError(
         f"Unknown JAX env {name}; have "
-        f"{sorted(ENV_REGISTRY) + ['PendulumPixels-v0', 'ReacherPixels-v0'] + sorted(TASK_SPECS)}"
+        f"{sorted(ENV_REGISTRY) + ['PendulumPixels-v0', 'ReacherPixels-v0'] + sorted(TASK_SPECS)} "
+        "plus HopperPlanar-v0/Walker2dPlanar-v0/HalfCheetahPlanar-v0 "
+        "(on-device planar physics, envs/planar.py)"
     )
 
 

@@ -29,7 +29,13 @@ def main():
                                  # semantics, envs/mujoco_tasks.py); need the
                                  # mujoco-mjx package for on-device physics.
                                  "HalfCheetah-v4", "Hopper-v4", "Walker2d-v4",
-                                 "Ant-v4", "Humanoid-v4", "HumanoidStandup-v4"])
+                                 "Ant-v4", "Humanoid-v4", "HumanoidStandup-v4",
+                                 # From-scratch on-device planar physics
+                                 # (envs/planar.py): exact smooth dynamics +
+                                 # -v4 semantics, penalty-approximate
+                                 # contacts; runs WITHOUT mujoco-mjx.
+                                 "HopperPlanar-v0", "Walker2dPlanar-v0",
+                                 "HalfCheetahPlanar-v0"])
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--steps-per-iter", type=int, default=32)
     parser.add_argument("--updates-per-iter", type=int, default=8)

@@ -1,0 +1,199 @@
+"""Validation of the from-scratch planar physics engine (envs/planar.py)
+against host MuJoCo's OWN computations on the exact Gymnasium XMLs:
+
+- forward kinematics vs ``mj_kinematics``
+- mass matrix (incl. armature, iframe-rotated inertias) vs ``mj_fullM``
+- bias forces (Coriolis + gravity) vs ``mj_rne(flg_acc=0)``
+- whole contact-free trajectories vs ``mj_step`` (contacts+limits disabled),
+  per-model integrator (RK4 for Hopper/Walker2d, implicit-damping Euler for
+  HalfCheetah)
+
+plus behavioral sanity of the penalty-contact approximation and the
+fused-rollout integration. Run in float64 for the exactness checks (the
+engine itself runs f32 in training).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+import gymnasium.envs.mujoco as gym_mujoco
+
+from active_inference_diffusion_tpu.envs import planar
+from active_inference_diffusion_tpu.envs.mujoco_tasks import TASK_SPECS
+
+TASKS = ["Hopper-v4", "Walker2d-v4", "HalfCheetah-v4"]
+
+_F64_FIELDS = [
+    "body_pos", "body_ipos", "mass", "iyy", "jnt_axis", "jnt_sign",
+    "jnt_anchor", "qpos0", "jnt_range", "jnt_limited", "damping", "armature",
+    "stiffness", "springref", "gear", "cp_offset", "cp_radius", "cp_friction",
+]
+
+
+def host_model(name):
+    spec = TASK_SPECS[name]
+    xml = os.path.join(
+        os.path.dirname(gym_mujoco.__file__), "assets", spec.xml_file
+    )
+    return mujoco.MjModel.from_xml_path(xml)
+
+
+def f64_model(name, **kw):
+    pm = planar.extract_planar_model(name, **kw)
+    return pm._replace(
+        **{k: jnp.asarray(getattr(pm, k), jnp.float64) for k in _F64_FIELDS}
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize("name", TASKS)
+def test_kinematics_mass_matrix_bias_match_mujoco(name):
+    m = host_model(name)
+    d = mujoco.MjData(m)
+    pm = f64_model(name)
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        qpos = rng.uniform(-0.6, 0.6, m.nq)
+        qvel = rng.uniform(-1.0, 1.0, m.nv)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mujoco.mj_forward(m, d)
+
+        pos, th = planar.forward_kinematics(pm, jnp.asarray(qpos))
+        np.testing.assert_allclose(
+            np.asarray(pos), d.xpos[:, [0, 2]], atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(th),
+            2 * np.arctan2(d.xquat[:, 2], d.xquat[:, 0]),
+            atol=1e-7,
+        )
+
+        M = np.zeros((m.nv, m.nv))
+        mujoco.mj_fullM(m, d, M)
+        np.testing.assert_allclose(
+            np.asarray(planar.mass_matrix(pm, jnp.asarray(qpos))), M, atol=1e-6
+        )
+
+        bias = np.zeros(m.nv)
+        mujoco.mj_rne(m, d, 0, bias)
+        np.testing.assert_allclose(
+            np.asarray(
+                planar.bias_forces(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+            ),
+            bias,
+            atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("name", TASKS)
+def test_contact_free_trajectory_matches_mj_step(name):
+    """50 model steps of actuated flight match mj_step with contacts and
+    limit constraints disabled — integrator-for-integrator (RK4 or
+    implicit-damping Euler)."""
+    m = host_model(name)
+    m.opt.disableflags |= (
+        mujoco.mjtDisableBit.mjDSBL_CONTACT | mujoco.mjtDisableBit.mjDSBL_LIMIT
+    )
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(2)
+    qpos = np.array(m.qpos0)
+    qpos[1] += 2.0  # well above the floor
+    qvel = rng.uniform(-0.5, 0.5, m.nv)
+    ctrl = rng.uniform(-0.3, 0.3, m.nu)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    d.ctrl[:] = ctrl
+    for _ in range(50):
+        mujoco.mj_step(m, d)
+
+    pm = f64_model(name)
+    # exact-integration mode: no substepping, limits off
+    pm = pm._replace(
+        n_substeps=1, jnt_limited=jnp.zeros_like(pm.jnt_limited)
+    )
+    q, qd = planar.step_physics(
+        pm, jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl), 50
+    )
+    np.testing.assert_allclose(np.asarray(q), d.qpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qd), d.qvel, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", TASKS)
+def test_env_contact_stability_and_semantics(name):
+    """Penalty contacts keep the rollout finite; the env exposes the exact
+    -v4 observation dims and terminates on unhealthy states where the task
+    does."""
+    env = planar.PlanarMJCEnv(name)
+    g = host_model(name)
+    assert env.observation_dim == {
+        "Hopper-v4": 11, "Walker2d-v4": 17, "HalfCheetah-v4": 17
+    }[name]
+    assert env.action_dim == g.nu
+
+    step = jax.jit(env.step)
+    state = env.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    terminated_seen = False
+    for _ in range(150):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (env.action_dim,), minval=-1.0, maxval=1.0)
+        state = step(state, a)
+        assert bool(jnp.isfinite(state.obs).all())
+        assert bool(jnp.isfinite(state.reward))
+        terminated_seen |= bool(state.terminated)
+    if TASK_SPECS[name].terminate_when_unhealthy:
+        # a random policy falls over well within 150 steps
+        assert terminated_seen
+
+
+def test_floor_is_impenetrable_at_rest():
+    """Zero-action Hopper settles with its foot resting ON the floor (small
+    penalty penetration), never falling through."""
+    env = planar.PlanarMJCEnv("Hopper-v4")
+    state = env.reset(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    for _ in range(120):
+        state = step(state, jnp.zeros(env.action_dim))
+    qpos = state.physics[: env.nq]
+    pos, th = planar.forward_kinematics(env.model, qpos)
+    pts = jax.vmap(lambda b, o: pos[b] + planar._rot(th[b]) @ o)(
+        env.model.cp_body, env.model.cp_offset
+    )
+    lowest = float(jnp.min(pts[:, 1] - env.model.cp_radius))
+    assert lowest > -0.02  # <= 2 cm penalty penetration
+    assert bool(jnp.isfinite(qpos).all())
+
+
+def test_fused_collect_on_planar_env():
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        fused_collect,
+        make_jax_env,
+    )
+
+    env = make_jax_env("HopperPlanar-v0")
+
+    def random_policy(obs, key):
+        return jax.random.uniform(
+            key, (obs.shape[0], env.action_dim), minval=-1.0, maxval=1.0
+        )
+
+    transitions, states = jax.jit(
+        lambda k: fused_collect(env, random_policy, k, 4, 10)
+    )(jax.random.PRNGKey(0))
+    assert transitions.observations.shape == (10, 4, env.observation_dim)
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
+    # terminated is real MDP termination (hopper falls eventually, but not
+    # necessarily in 10 steps) and stays boolean
+    assert transitions.terminateds.dtype == bool
