@@ -447,6 +447,60 @@ def main():
     except Exception as e:
         log(f"fused collect bench skipped: {type(e).__name__}: {e}")
 
+    # ================= fused on-device MuJoCo-task collection ==========
+    # Hopper-v4 physics from the from-scratch planar engine (envs/planar.py:
+    # Lagrangian dynamics validated against mj_fullM/mj_rne/mj_step, penalty
+    # contacts) + diffusion-belief policy, fully fused on the chip. The
+    # reference's host MuJoCo collectors top out at O(10^2) env steps/s.
+    try:
+        from active_inference_diffusion_tpu.envs.jax_envs import (
+            flatten_transitions as _flatten,
+            make_jax_env as _mk,
+            make_rollout_policy as _mkrp,
+        )
+
+        henv = _mk("HopperPlanar-v0")
+        hconfig = ActiveInferenceConfig(
+            observation_dim=henv.observation_dim,
+            action_dim=henv.action_dim,
+            latent_dim=16, hidden_dim=64, score_num_layers=2,
+            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+        )
+        hconfig.tpu.donate_buffers = False
+        hagent = DiffusionStateAgent(
+            henv.observation_dim, henv.action_dim, hconfig, TrainingConfig()
+        )
+        hparams = hagent.core.init_params(jax.random.PRNGKey(13))
+        hp = _mkrp(hagent.core, henv)
+        hn_envs, hn_steps = 512, 32
+
+        @jax.jit
+        def hopper_collect(key, env_states):
+            t, s = fused_collect(
+                henv, lambda obs, k: hp(hparams, obs, k), key,
+                hn_envs, hn_steps, env_states=env_states,
+            )
+            return _flatten(t).rewards, s
+
+        hkey = jax.random.PRNGKey(14)
+        hrew, hstates = hopper_collect(hkey, None)
+        hrew.block_until_ready()
+        assert bool(jnp.isfinite(hrew).all()), "planar hopper non-finite"
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            hkey, sub = jax.random.split(hkey)
+            hrew, hstates = hopper_collect(sub, hstates)
+        hrew.block_until_ready()
+        hopper_sps = reps * hn_envs * hn_steps / (time.perf_counter() - t0)
+        log(
+            f"fused planar-Hopper collect: {hopper_sps:,.0f} env steps/s "
+            f"({hn_envs} envs, RK4 physics x frame_skip 4 + K=10 belief "
+            "sweep per control step, 1 chip)"
+        )
+        detail["fused_hopper_planar_env_steps_per_sec"] = round(hopper_sps)
+    except Exception as e:
+        log(f"fused planar hopper bench skipped: {type(e).__name__}: {e}")
+
     # ================= fused on-device PIXEL collection ================
     # The observation is rasterized inside the jitted rollout
     # (envs/pixel_render.py): 84x84x3 uint8, frame-stack 3, conv-encoded
