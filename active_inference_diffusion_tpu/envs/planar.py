@@ -343,16 +343,11 @@ def bias_forces(
     model: PlanarModel, qpos: jnp.ndarray, qvel: jnp.ndarray
 ) -> jnp.ndarray:
     """c(q, q̇) with gravity, such that M q̈ + c = τ_applied (matches
-    MuJoCo's mj_rne with flg_acc=0). Derived from the Lagrangian by autodiff:
-    c = (∂(M q̇)/∂q) q̇ − ∇_q T + ∇_q V."""
-
-    def Mv(q):
-        return mass_matrix(model, q) @ qvel
-
-    dMv = jax.jacfwd(Mv)(qpos)  # (nj, nj): d(M qd)_i / dq_j
-
-    def kinetic(q):
-        return 0.5 * qvel @ mass_matrix(model, q) @ qvel
+    MuJoCo's mj_rne with flg_acc=0). Lagrangian identity in terms of one
+    mass-matrix Jacobian: c_i = (∂M_ij/∂q_k − ½ ∂M_jk/∂q_i) q̇_j q̇_k
+    + ∂V/∂q_i — a single jacfwd over M instead of separate ∂(Mq̇)/∂q and
+    ∇T passes."""
+    dM = jax.jacfwd(lambda q: mass_matrix(model, q))(qpos)  # dM_ij/dq_k
 
     def potential(q):
         coms = com_positions(model, q)
@@ -360,7 +355,10 @@ def bias_forces(
             model.mass.astype(q.dtype) * coms[:, 1]
         )
 
-    return dMv @ qvel - jax.grad(kinetic)(qpos) + jax.grad(potential)(qpos)
+    coriolis = jnp.einsum("ijk,j,k->i", dM, qvel, qvel) - 0.5 * jnp.einsum(
+        "jki,j,k->i", dM, qvel, qvel
+    )
+    return coriolis + jax.grad(potential)(qpos)
 
 
 def contact_forces(
