@@ -264,6 +264,12 @@ def make_jax_env(name: str) -> JaxEnv:
 
         cls = PendulumPixels if name == "PendulumPixels-v0" else ReacherPixels
         return cls()
+    if name.endswith("PlanarPixels-v0"):
+        # On-device rendered pixel variant of the planar MuJoCo tasks
+        # (tracking camera, rasterized capsules; envs/pixel_render.py).
+        from .pixel_render import make_planar_pixels
+
+        return make_planar_pixels(name.replace("PlanarPixels-v0", "-v4"))
     if name.endswith("Planar-v0"):
         # From-scratch planar physics for the 2D MuJoCo tasks: exact smooth
         # dynamics + exact -v4 task semantics, penalty-approximate contacts

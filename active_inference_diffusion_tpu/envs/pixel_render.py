@@ -170,3 +170,131 @@ class ReacherPixels(Reacher2Link):
         frame = self.render_frame(next_state.physics[:2], next_state.physics[4:6])
         stack = jnp.concatenate([state.obs[3:], frame], axis=0)
         return next_state.replace(obs=stack)
+
+
+class PlanarPixels:
+    """Factory for pixel variants of the planar MuJoCo tasks: the frame is
+    rasterized ON DEVICE from the planar engine's forward kinematics — a
+    tracking camera following the torso, each body's capsule geoms drawn as
+    distance-field strokes (per-body colors), the floor as a line at z=0.
+    This is the pixel-MuJoCo capability the reference gets from host
+    MuJoCo rendering at ~8-17 env-steps/s (reference
+    envs/pixel_wrappers.py:101-204), fused into the jitted rollout instead.
+
+    Use ``make_planar_pixels("Hopper-v4")`` or the registered names
+    ``HopperPlanarPixels-v0`` / ``Walker2dPlanarPixels-v0`` /
+    ``HalfCheetahPlanarPixels-v0`` (envs/jax_envs.make_jax_env).
+    """
+
+
+_BODY_PALETTE = jnp.array(
+    [
+        [204.0, 77.0, 77.0],
+        [77.0, 77.0, 204.0],
+        [60.0, 170.0, 60.0],
+        [204.0, 154.0, 51.0],
+        [154.0, 77.0, 204.0],
+        [51.0, 178.0, 204.0],
+        [178.0, 204.0, 51.0],
+        [204.0, 77.0, 154.0],
+    ]
+)
+
+
+def make_planar_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
+    """Build a pixel variant of a planar MuJoCo task (lazy import avoids a
+    module cycle; the class is created once per call)."""
+    from .planar import PlanarMJCEnv, forward_kinematics, _rot
+
+    class _PlanarPixels(PlanarMJCEnv):
+        def __init__(self):
+            super().__init__(env_name)
+            self.size = size
+            self.frame_stack = frame_stack
+            self.obs_shape = (frame_stack * 3, size, size)
+            ys = jnp.arange(size, dtype=jnp.float32)
+            self._yy, self._xx = jnp.meshgrid(ys, ys, indexing="ij")
+            # camera: ~3.2 m of world height in frame; centered on torso x
+            self._scale = size / 3.2
+            self._cam_z = 0.9  # world z at the vertical frame center
+            # render geoms: segment endpoints per capsule, from the same XML
+            import os
+
+            import gymnasium.envs.mujoco as gym_mujoco
+            import mujoco
+            import numpy as np
+
+            xml = os.path.join(
+                os.path.dirname(gym_mujoco.__file__), "assets",
+                self.spec.xml_file,
+            )
+            m = mujoco.MjModel.from_xml_path(xml)
+            seg_body, seg_a, seg_b, seg_r = [], [], [], []
+            for g in range(m.ngeom):
+                b = int(m.geom_bodyid[g])
+                if b == 0 or int(m.geom_type[g]) != 3:  # capsules only
+                    continue
+                pos = np.asarray(m.geom_pos[g])[[0, 2]]
+                half = float(m.geom_size[g][1])
+                w, x, y, z = (float(v) for v in m.geom_quat[g])
+                ang = 2.0 * np.arctan2(y, w)
+                axis = np.array([np.sin(ang), np.cos(ang)])
+                seg_body.append(b)
+                seg_a.append(pos - half * axis)
+                seg_b.append(pos + half * axis)
+                seg_r.append(float(m.geom_size[g][0]))
+            self._seg_body = tuple(seg_body)  # static python ints
+            self._seg_a = jnp.asarray(np.asarray(seg_a), jnp.float32)
+            self._seg_b = jnp.asarray(np.asarray(seg_b), jnp.float32)
+            self._seg_r = jnp.asarray(np.asarray(seg_r), jnp.float32)
+
+        def _to_screen(self, xz: jnp.ndarray, cam_x: jnp.ndarray) -> jnp.ndarray:
+            sx = (xz[0] - cam_x) * self._scale + self.size / 2.0
+            sy = (self._cam_z - xz[1]) * self._scale + self.size / 2.0
+            return jnp.stack([sx, sy])
+
+        def render_frame(self, qpos: jnp.ndarray) -> jnp.ndarray:
+            pos, th = forward_kinematics(self.model, qpos)
+            cam_x = pos[1, 0]  # track the torso
+            canvas = jnp.full((self.size, self.size, 3), 255.0)
+            # floor: darken everything below z=0
+            floor_sy = (self._cam_z - 0.0) * self._scale + self.size / 2.0
+            below = jnp.clip(self._yy - floor_sy + 0.5, 0.0, 1.0)
+            floor_color = jnp.array([210.0, 200.0, 180.0])
+            canvas = canvas * (1 - below)[..., None] + floor_color * below[..., None]
+            # grid ticks on the floor so forward motion is visible even with
+            # the tracking camera (1 m period)
+            world_x = (self._xx - self.size / 2.0) / self._scale + cam_x
+            tick = jnp.clip(
+                1.5 - jnp.abs((world_x % 1.0) - 0.5) * self._scale, 0.0, 1.0
+            ) * below
+            canvas = canvas * (1 - tick)[..., None] + jnp.array(
+                [120.0, 110.0, 95.0]
+            ) * tick[..., None]
+            for i, b in enumerate(self._seg_body):
+                R = _rot(th[b])
+                a = self._to_screen(pos[b] + R @ self._seg_a[i], cam_x)
+                c = self._to_screen(pos[b] + R @ self._seg_b[i], cam_x)
+                half = jnp.maximum(self._seg_r[i] * self._scale, 1.2) + 0.5
+                alpha = jnp.clip(
+                    half - _segment_distance(self._yy, self._xx, a, c),
+                    0.0, 1.0,
+                )
+                color = _BODY_PALETTE[b % len(_BODY_PALETTE)]
+                canvas = canvas * (1 - alpha)[..., None] + color * alpha[..., None]
+            return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)
+
+        def reset(self, key):
+            state = super().reset(key)
+            frame = self.render_frame(state.physics[: self.nq])
+            stack = jnp.tile(frame, (self.frame_stack, 1, 1))
+            return state.replace(obs=stack)
+
+        def step(self, state, action):
+            next_state = super().step(state, action)
+            frame = self.render_frame(next_state.physics[: self.nq])
+            stack = jnp.concatenate([state.obs[3:], frame], axis=0)
+            return next_state.replace(obs=stack)
+
+    _PlanarPixels.__name__ = env_name.replace("-v4", "PlanarPixels")
+    return _PlanarPixels()

@@ -19,7 +19,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--env", default="PendulumPixels-v0",
-        choices=["PendulumPixels-v0", "ReacherPixels-v0"],
+        choices=["PendulumPixels-v0", "ReacherPixels-v0",
+                 # on-device rendered planar MuJoCo tasks (envs/planar.py
+                 # physics + envs/pixel_render.make_planar_pixels raster)
+                 "HopperPlanarPixels-v0", "Walker2dPlanarPixels-v0",
+                 "HalfCheetahPlanarPixels-v0"],
     )
     parser.add_argument("--num-envs", type=int, default=32)
     parser.add_argument("--steps-per-iter", type=int, default=16)
@@ -59,12 +63,19 @@ def main():
     from active_inference_diffusion_tpu.envs.pixel_render import (
         PendulumPixels,
         ReacherPixels,
+        make_planar_pixels,
     )
 
-    env_cls = (
-        PendulumPixels if args.env == "PendulumPixels-v0" else ReacherPixels
-    )
-    env = env_cls(size=args.size, frame_stack=args.frame_stack)
+    if args.env.endswith("PlanarPixels-v0"):
+        env = make_planar_pixels(
+            args.env.replace("PlanarPixels-v0", "-v4"),
+            size=args.size, frame_stack=args.frame_stack,
+        )
+    else:
+        env_cls = (
+            PendulumPixels if args.env == "PendulumPixels-v0" else ReacherPixels
+        )
+        env = env_cls(size=args.size, frame_stack=args.frame_stack)
     config = ActiveInferenceConfig(
         action_dim=env.action_dim,
         latent_dim=args.latent_dim,

@@ -197,3 +197,47 @@ def test_fused_collect_on_planar_env():
     # terminated is real MDP termination (hopper falls eventually, but not
     # necessarily in 10 steps) and stays boolean
     assert transitions.terminateds.dtype == bool
+
+
+def test_planar_pixels_render_and_rollout():
+    """On-device rendered pixel MuJoCo tasks: uint8 stacked frames with the
+    body and floor visible, advancing with physics."""
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        fused_collect,
+        make_jax_env,
+    )
+    from active_inference_diffusion_tpu.envs.pixel_render import (
+        make_planar_pixels,
+    )
+
+    env = make_planar_pixels("Hopper-v4", size=32, frame_stack=2)
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (6, 32, 32) and state.obs.dtype == jnp.uint8
+    f0 = np.asarray(state.obs[-3:])
+    # body + floor occupy a nontrivial fraction of the frame
+    assert 0.05 < float((f0 < 250).any(axis=0).mean()) < 0.9
+
+    step = jax.jit(env.step)
+    for i in range(6):
+        state = step(state, jnp.ones(env.action_dim) * (-1.0) ** i)
+    assert not np.array_equal(np.asarray(state.obs[-3:]), f0)
+    # frame stack advanced: oldest channel block != newest
+    assert not np.array_equal(
+        np.asarray(state.obs[:3]), np.asarray(state.obs[-3:])
+    )
+
+    # registry name + fused rollout
+    env2 = make_jax_env("HalfCheetahPlanarPixels-v0")
+    assert env2.obs_shape[0] == 9
+
+    def random_policy(obs, key):
+        return jax.random.uniform(
+            key, (obs.shape[0], env.action_dim), minval=-1.0, maxval=1.0
+        )
+
+    transitions, _ = jax.jit(
+        lambda k: fused_collect(env, random_policy, k, 2, 4)
+    )(jax.random.PRNGKey(1))
+    assert transitions.observations.shape == (4, 2, 6, 32, 32)
+    assert transitions.observations.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
