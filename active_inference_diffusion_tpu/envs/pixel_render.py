@@ -7,13 +7,17 @@ Rendering the observation *inside* the jitted program keeps the whole
 collect-train loop on device: the rasterizer is a few thousand fused VPU ops
 per frame, vmapped over envs, so pixel agents train from thousands of
 on-device env steps per second through ``fused_collect``
-(envs/jax_envs.py:269).
+(envs/jax_envs.py).
 
 The raster model is deliberately simple (distance-field strokes on a uint8
-canvas): the point is an *informative* 84x84x3 observation with exact
-Pendulum-v1 physics underneath, frame-stacked so velocity is visible —
-the same observation contract as ``make_pixel_mujoco`` (84x84, stack 3,
+canvas): the point is an *informative* 84x84x3 observation with exact task
+physics underneath, frame-stacked so velocity is visible — the same
+observation contract as ``make_pixel_mujoco`` (84x84, stack 3,
 channels-first uint8).
+
+Envs: ``PendulumPixels`` / ``ReacherPixels`` (analytic physics) and
+``make_planar_pixels`` (the planar MuJoCo tasks of envs/planar.py with a
+tracking camera).
 """
 
 from __future__ import annotations
@@ -38,33 +42,70 @@ def _segment_distance(
     return jnp.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
 
 
-class PendulumPixels(Pendulum):
-    """Pendulum-v1 with on-device rendered pixel observations.
+class PixelStackMixin:
+    """Frame-stacked uint8 pixel observations for on-device rendered envs.
 
-    Physics/reward/termination are inherited (exact Gymnasium Pendulum-v1
-    semantics, cross-validated in tests/test_jax_envs.py); the observation is
-    a (frame_stack*3, H, W) uint8 channels-first stack of rasterized frames —
-    the layout ``DiffusionPixelAgent._to_nhwc_float`` consumes. theta=0
-    renders the rod pointing UP (the Gymnasium screen convention).
+    Subclasses call ``_init_raster(size, frame_stack)`` in ``__init__`` and
+    implement ``_render_state(state) -> (3, H, W) uint8``; reset/step here
+    maintain the (frame_stack*3, H, W) channels-first stack (the layout
+    ``DiffusionPixelAgent._to_nhwc_float`` consumes).
     """
 
-    size: int = 84
-    frame_stack: int = 3
-
-    def __init__(self, size: int = 84, frame_stack: int = 3):
+    def _init_raster(self, size: int, frame_stack: int) -> None:
         self.size = size
         self.frame_stack = frame_stack
         self.obs_shape = (frame_stack * 3, size, size)
         ys = jnp.arange(size, dtype=jnp.float32)
         self._yy, self._xx = jnp.meshgrid(ys, ys, indexing="ij")
         self._center = jnp.array([size / 2.0, size / 2.0])
+
+    # Pixel envs expose ``obs_shape``; a flat observation_dim would size
+    # state-agent networks/replay wrongly — fail fast instead of inheriting
+    # the underlying state env's scalar.
+    @property
+    def observation_dim(self):
+        raise AttributeError(
+            f"{type(self).__name__} produces pixel observations "
+            f"(obs_shape={getattr(self, 'obs_shape', None)}); use obs_shape "
+            "with DiffusionPixelAgent, not observation_dim"
+        )
+
+    @observation_dim.setter
+    def observation_dim(self, _value):
+        # tolerate the state-env base __init__ assigning its own dim
+        pass
+
+    def _render_state(self, state: EnvState) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def reset(self, key: jax.Array) -> EnvState:
+        state = super().reset(key)
+        frame = self._render_state(state)
+        return state.replace(obs=jnp.tile(frame, (self.frame_stack, 1, 1)))
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        next_state = super().step(state, action)
+        frame = self._render_state(next_state)
+        return next_state.replace(
+            obs=jnp.concatenate([state.obs[3:], frame], axis=0)
+        )
+
+
+class PendulumPixels(PixelStackMixin, Pendulum):
+    """Pendulum-v1 with on-device rendered pixel observations.
+
+    Physics/reward/termination are inherited (exact Gymnasium Pendulum-v1
+    semantics, cross-validated in tests/test_jax_envs.py). theta=0 renders
+    the rod pointing UP (the Gymnasium screen convention).
+    """
+
+    def __init__(self, size: int = 84, frame_stack: int = 3):
+        self._init_raster(size, frame_stack)
         self._rod_len = 0.36 * size
         self._rod_width = 0.05 * size
         # Gymnasium's rod/background palette (salmon rod, white bg, dark axle)
         self._rod_color = jnp.array([204.0, 77.0, 77.0])
         self._axle_color = jnp.array([40.0, 40.0, 40.0])
-
-    # -- rasterizer ------------------------------------------------------
 
     def render_frame(self, theta: jnp.ndarray) -> jnp.ndarray:
         """(3, H, W) uint8 frame for a pole angle (0 = up, + = ccw)."""
@@ -91,40 +132,21 @@ class PendulumPixels(Pendulum):
         )
         return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)  # (3, H, W)
 
-    # -- env interface ---------------------------------------------------
-
-    def reset(self, key: jax.Array) -> EnvState:
-        state = super().reset(key)
-        frame = self.render_frame(state.physics[0])
-        stack = jnp.tile(frame, (self.frame_stack, 1, 1))
-        return state.replace(obs=stack)
-
-    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
-        next_state = super().step(state, action)
-        frame = self.render_frame(next_state.physics[0])
-        stack = jnp.concatenate([state.obs[3:], frame], axis=0)
-        return next_state.replace(obs=stack)
+    def _render_state(self, state: EnvState) -> jnp.ndarray:
+        return self.render_frame(state.physics[0])
 
 
-class ReacherPixels(Reacher2Link):
+class ReacherPixels(PixelStackMixin, Reacher2Link):
     """Planar 2-link reacher with on-device rendered pixel observations.
 
     The frame shows both links (distinct colors) and the target as a filled
     dot — a goal-conditioned pixel task: the agent must locate the target
     in the image, there is no state-side shortcut. Physics/reward inherit
-    from ``Reacher2Link`` (jax_envs.py:179).
+    from ``Reacher2Link`` (jax_envs.py).
     """
 
-    size: int = 84
-    frame_stack: int = 3
-
     def __init__(self, size: int = 84, frame_stack: int = 3):
-        self.size = size
-        self.frame_stack = frame_stack
-        self.obs_shape = (frame_stack * 3, size, size)
-        ys = jnp.arange(size, dtype=jnp.float32)
-        self._yy, self._xx = jnp.meshgrid(ys, ys, indexing="ij")
-        self._center = jnp.array([size / 2.0, size / 2.0])
+        self._init_raster(size, frame_stack)
         # workspace radius 1.0 (two 0.5 links) + margin maps onto the frame
         self._scale = size / 2.4
         self._stroke = 0.035 * size
@@ -159,32 +181,8 @@ class ReacherPixels(Reacher2Link):
         canvas = canvas * (1 - a2)[..., None] + self._link2_color * a2[..., None]
         return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)
 
-    def reset(self, key: jax.Array) -> EnvState:
-        state = super().reset(key)
-        frame = self.render_frame(state.physics[:2], state.physics[4:6])
-        stack = jnp.tile(frame, (self.frame_stack, 1, 1))
-        return state.replace(obs=stack)
-
-    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
-        next_state = super().step(state, action)
-        frame = self.render_frame(next_state.physics[:2], next_state.physics[4:6])
-        stack = jnp.concatenate([state.obs[3:], frame], axis=0)
-        return next_state.replace(obs=stack)
-
-
-class PlanarPixels:
-    """Factory for pixel variants of the planar MuJoCo tasks: the frame is
-    rasterized ON DEVICE from the planar engine's forward kinematics — a
-    tracking camera following the torso, each body's capsule geoms drawn as
-    distance-field strokes (per-body colors), the floor as a line at z=0.
-    This is the pixel-MuJoCo capability the reference gets from host
-    MuJoCo rendering at ~8-17 env-steps/s (reference
-    envs/pixel_wrappers.py:101-204), fused into the jitted rollout instead.
-
-    Use ``make_planar_pixels("Hopper-v4")`` or the registered names
-    ``HopperPlanarPixels-v0`` / ``Walker2dPlanarPixels-v0`` /
-    ``HalfCheetahPlanarPixels-v0`` (envs/jax_envs.make_jax_env).
-    """
+    def _render_state(self, state: EnvState) -> jnp.ndarray:
+        return self.render_frame(state.physics[:2], state.physics[4:6])
 
 
 _BODY_PALETTE = jnp.array(
@@ -202,51 +200,29 @@ _BODY_PALETTE = jnp.array(
 
 
 def make_planar_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
-    """Build a pixel variant of a planar MuJoCo task (lazy import avoids a
-    module cycle; the class is created once per call)."""
+    """Pixel variant of a planar MuJoCo task: the frame is rasterized ON
+    DEVICE from the planar engine's forward kinematics — a tracking camera
+    following the torso, each body's capsule geoms (``PlanarModel.geom_*``,
+    the same segments the contact model uses) drawn as distance-field
+    strokes with per-body colors, the floor as a shaded half-plane with 1 m
+    tick marks so forward motion is visible despite the tracking camera.
+    This is the pixel-MuJoCo capability the reference gets from host MuJoCo
+    rendering at ~8-17 env-steps/s (reference envs/pixel_wrappers.py:101-204),
+    fused into the jitted rollout instead.
+
+    Registered names: ``HopperPlanarPixels-v0`` / ``Walker2dPlanarPixels-v0``
+    / ``HalfCheetahPlanarPixels-v0`` (envs/jax_envs.make_jax_env). Lazy
+    import avoids a module cycle; the class is created per call.
+    """
     from .planar import PlanarMJCEnv, forward_kinematics, _rot
 
-    class _PlanarPixels(PlanarMJCEnv):
+    class _PlanarPixels(PixelStackMixin, PlanarMJCEnv):
         def __init__(self):
             super().__init__(env_name)
-            self.size = size
-            self.frame_stack = frame_stack
-            self.obs_shape = (frame_stack * 3, size, size)
-            ys = jnp.arange(size, dtype=jnp.float32)
-            self._yy, self._xx = jnp.meshgrid(ys, ys, indexing="ij")
+            self._init_raster(size, frame_stack)
             # camera: ~3.2 m of world height in frame; centered on torso x
             self._scale = size / 3.2
             self._cam_z = 0.9  # world z at the vertical frame center
-            # render geoms: segment endpoints per capsule, from the same XML
-            import os
-
-            import gymnasium.envs.mujoco as gym_mujoco
-            import mujoco
-            import numpy as np
-
-            xml = os.path.join(
-                os.path.dirname(gym_mujoco.__file__), "assets",
-                self.spec.xml_file,
-            )
-            m = mujoco.MjModel.from_xml_path(xml)
-            seg_body, seg_a, seg_b, seg_r = [], [], [], []
-            for g in range(m.ngeom):
-                b = int(m.geom_bodyid[g])
-                if b == 0 or int(m.geom_type[g]) != 3:  # capsules only
-                    continue
-                pos = np.asarray(m.geom_pos[g])[[0, 2]]
-                half = float(m.geom_size[g][1])
-                w, x, y, z = (float(v) for v in m.geom_quat[g])
-                ang = 2.0 * np.arctan2(y, w)
-                axis = np.array([np.sin(ang), np.cos(ang)])
-                seg_body.append(b)
-                seg_a.append(pos - half * axis)
-                seg_b.append(pos + half * axis)
-                seg_r.append(float(m.geom_size[g][0]))
-            self._seg_body = tuple(seg_body)  # static python ints
-            self._seg_a = jnp.asarray(np.asarray(seg_a), jnp.float32)
-            self._seg_b = jnp.asarray(np.asarray(seg_b), jnp.float32)
-            self._seg_r = jnp.asarray(np.asarray(seg_r), jnp.float32)
 
         def _to_screen(self, xz: jnp.ndarray, cam_x: jnp.ndarray) -> jnp.ndarray:
             sx = (xz[0] - cam_x) * self._scale + self.size / 2.0
@@ -254,11 +230,12 @@ def make_planar_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
             return jnp.stack([sx, sy])
 
         def render_frame(self, qpos: jnp.ndarray) -> jnp.ndarray:
-            pos, th = forward_kinematics(self.model, qpos)
+            model = self.model
+            pos, th = forward_kinematics(model, qpos)
             cam_x = pos[1, 0]  # track the torso
             canvas = jnp.full((self.size, self.size, 3), 255.0)
             # floor: darken everything below z=0
-            floor_sy = (self._cam_z - 0.0) * self._scale + self.size / 2.0
+            floor_sy = self._cam_z * self._scale + self.size / 2.0
             below = jnp.clip(self._yy - floor_sy + 0.5, 0.0, 1.0)
             floor_color = jnp.array([210.0, 200.0, 180.0])
             canvas = canvas * (1 - below)[..., None] + floor_color * below[..., None]
@@ -271,11 +248,11 @@ def make_planar_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
             canvas = canvas * (1 - tick)[..., None] + jnp.array(
                 [120.0, 110.0, 95.0]
             ) * tick[..., None]
-            for i, b in enumerate(self._seg_body):
+            for i, b in enumerate(model.geom_body):
                 R = _rot(th[b])
-                a = self._to_screen(pos[b] + R @ self._seg_a[i], cam_x)
-                c = self._to_screen(pos[b] + R @ self._seg_b[i], cam_x)
-                half = jnp.maximum(self._seg_r[i] * self._scale, 1.2) + 0.5
+                a = self._to_screen(pos[b] + R @ model.geom_a[i], cam_x)
+                c = self._to_screen(pos[b] + R @ model.geom_b[i], cam_x)
+                half = jnp.maximum(model.geom_radius[i] * self._scale, 1.2) + 0.5
                 alpha = jnp.clip(
                     half - _segment_distance(self._yy, self._xx, a, c),
                     0.0, 1.0,
@@ -284,17 +261,8 @@ def make_planar_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
                 canvas = canvas * (1 - alpha)[..., None] + color * alpha[..., None]
             return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)
 
-        def reset(self, key):
-            state = super().reset(key)
-            frame = self.render_frame(state.physics[: self.nq])
-            stack = jnp.tile(frame, (self.frame_stack, 1, 1))
-            return state.replace(obs=stack)
-
-        def step(self, state, action):
-            next_state = super().step(state, action)
-            frame = self.render_frame(next_state.physics[: self.nq])
-            stack = jnp.concatenate([state.obs[3:], frame], axis=0)
-            return next_state.replace(obs=stack)
+        def _render_state(self, state: EnvState) -> jnp.ndarray:
+            return self.render_frame(state.physics[: self.nq])
 
     _PlanarPixels.__name__ = env_name.replace("-v4", "PlanarPixels")
     return _PlanarPixels()

@@ -84,11 +84,18 @@ class PlanarModel(NamedTuple):
     # actuators: direct joint torques
     act_dof: jnp.ndarray  # (nu,) int dof index
     gear: jnp.ndarray  # (nu,)
+    ctrlrange: jnp.ndarray  # (nu, 2) — MuJoCo clamps data.ctrl to this
+    # capsule geom segments on movable bodies (body-frame endpoints) —
+    # source of both the contact points below and the pixel rasterizer
+    geom_body: tuple  # python ints
+    geom_a: jnp.ndarray  # (ng, 2)
+    geom_b: jnp.ndarray  # (ng, 2)
+    geom_radius: jnp.ndarray  # (ng,)
     # contact points (on movable bodies) vs the z=0 floor plane
     cp_body: jnp.ndarray  # (ncp,) int body index
     cp_offset: jnp.ndarray  # (ncp, 2) point in body frame
     cp_radius: jnp.ndarray  # (ncp,)
-    cp_friction: jnp.ndarray  # (ncp,) tangential mu
+    cp_friction: jnp.ndarray  # (ncp,) tangential mu (max with the floor's)
     # integration
     dt: float
     gravity: float  # positive magnitude, acts along -z
@@ -189,7 +196,17 @@ def extract_planar_model(
         act_dof.append(int(m.jnt_dofadr[j]))
         gear.append(float(m.actuator_gear[a, 0]))
 
-    # contact candidate points from capsule endpoints+center / sphere centers
+    # floor friction: MuJoCo combines contact friction as the element-wise
+    # MAX of the two geoms' vectors (equal priorities) — hopper's floor
+    # defaults to mu=1.0 while its torso/thigh/leg capsules set 0.9.
+    floor_mu = 0.0
+    for g in range(m.ngeom):
+        if int(m.geom_bodyid[g]) == 0:
+            floor_mu = max(floor_mu, float(m.geom_friction[g][0]))
+
+    # capsule segments on movable bodies (also the rasterizer's geometry),
+    # then contact candidate points from endpoints+center / sphere centers
+    geom_body, geom_a, geom_b, geom_radius = [], [], [], []
     cp_body, cp_offset, cp_radius, cp_friction = [], [], [], []
     for g in range(m.ngeom):
         b = int(m.geom_bodyid[g])
@@ -197,22 +214,31 @@ def extract_planar_model(
             continue  # the floor plane itself
         gtype = int(m.geom_type[g])
         pos = np.asarray(m.geom_pos[g])[[0, 2]]
-        mu = float(m.geom_friction[g][0])
+        mu = max(float(m.geom_friction[g][0]), floor_mu)
         if gtype == _CAPSULE:
             half = float(m.geom_size[g][1])
             r = float(m.geom_size[g][0])
             ang = _quat_y_angle(m.geom_quat[g])
             # capsule axis = local +z rotated about +y by ang: (sin, cos)
             axis = np.array([np.sin(ang), np.cos(ang)])
+            geom_body.append(b)
+            geom_a.append(pos - half * axis)
+            geom_b.append(pos + half * axis)
+            geom_radius.append(r)
             for s in (-1.0, 0.0, 1.0):
                 cp_body.append(b)
                 cp_offset.append(pos + s * half * axis)
                 cp_radius.append(r)
                 cp_friction.append(mu)
         elif gtype == _SPHERE:
+            r = float(m.geom_size[g][0])
+            geom_body.append(b)
+            geom_a.append(pos)
+            geom_b.append(pos)
+            geom_radius.append(r)
             cp_body.append(b)
             cp_offset.append(pos)
-            cp_radius.append(float(m.geom_size[g][0]))
+            cp_radius.append(r)
             cp_friction.append(mu)
         # other geom types (plane handled above) unsupported -> skip
 
@@ -264,6 +290,11 @@ def extract_planar_model(
         springref=f32(m.qpos_spring),
         act_dof=jnp.asarray(np.asarray(act_dof), jnp.int32),
         gear=f32(np.asarray(gear)),
+        ctrlrange=f32(m.actuator_ctrlrange),
+        geom_body=tuple(geom_body),
+        geom_a=f32(np.asarray(geom_a)),
+        geom_b=f32(np.asarray(geom_b)),
+        geom_radius=f32(np.asarray(geom_radius)),
         cp_body=jnp.asarray(np.asarray(cp_body), jnp.int32),
         cp_offset=f32(np.asarray(cp_offset)),
         cp_radius=f32(np.asarray(cp_radius)),
@@ -428,6 +459,14 @@ def passive_and_limit_forces(
 
 
 def applied_torques(model: PlanarModel, ctrl: jnp.ndarray) -> jnp.ndarray:
+    # MuJoCo clamps data.ctrl to the actuator ctrlrange (ctrllimited in all
+    # three task XMLs) — without this, out-of-range actions would apply
+    # torques gym.make can never produce.
+    ctrl = jnp.clip(
+        ctrl,
+        model.ctrlrange[:, 0].astype(ctrl.dtype),
+        model.ctrlrange[:, 1].astype(ctrl.dtype),
+    )
     nj = len(model.jnt_body)
     tau = jnp.zeros((nj,), ctrl.dtype)
     return tau.at[model.act_dof].add(model.gear.astype(ctrl.dtype) * ctrl)
@@ -535,6 +574,11 @@ class PlanarMJCEnv(JaxEnv):
             ).shape[0]
         )
         self.action_dim = int(self.model.act_dof.shape[0])
+        # Gymnasium's action space is Box(ctrlrange); per-actuator arrays so
+        # scale_action honors heterogeneous/asymmetric ranges (same contract
+        # as MJXEnv). All three planar tasks use +-1.
+        self.action_low = self.model.ctrlrange[:, 0]
+        self.action_high = self.model.ctrlrange[:, 1]
         self.max_episode_steps = self.spec.max_episode_steps
         self.dt = float(self.model.dt * self.spec.frame_skip)
         self.model_timestep = float(self.model.dt)
