@@ -555,7 +555,13 @@ class TrainingConfig:
 
 
 def _update_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
-    """Recursively update a dataclass instance from a nested dict."""
+    """Recursively update a dataclass instance from a nested dict.
+
+    Re-runs ``__post_init__`` after the updates so YAML-loaded configs get
+    the same validation and alias folding as constructor arguments
+    (prediction_type/use_continuous_time/semantics-mode checks, the
+    expected_free_energy_horizon/extrinsic_weight aliases) — setattr alone
+    would silently bypass all of it."""
     for key, value in data.items():
         if not hasattr(obj, key):
             raise KeyError(
@@ -568,6 +574,9 @@ def _update_dataclass(obj: Any, data: Dict[str, Any]) -> Any:
             setattr(obj, key, tuple(value))
         else:
             setattr(obj, key, value)
+    post = getattr(obj, "__post_init__", None)
+    if post is not None:
+        post()
     return obj
 
 

@@ -264,18 +264,21 @@ def compute_jacobian_probes(
 
             return jax.vmap(probe_fd)(dirs)
 
-        # The baseline decode f(zb) happens PER BLOCK too: decoding the full
-        # row batch once up front would itself be the megabatch conv
-        # activation spike the chunking exists to avoid (one extra decode
-        # per block; same total FLOPs as a hoisted baseline, bounded memory).
+        # Baseline decode hoisted but still BLOCKED: lax.map decodes one
+        # block at a time (peak working set = one block's conv activations,
+        # not the megabatch spike the chunking exists to avoid) and the
+        # result is reused across all ntk directions (decoding inside the
+        # direction map would cost ntk x the baseline decodes).
+        f_blocks = jax.lax.map(decoder_fn, z_blocks)
+
         def probe_dir_fd(d):
             d_blocks = d.reshape(blocks, chunk_rows, z.shape[-1])
 
             def one_block_fd(args):
-                zb, db = args
-                return (decoder_fn(zb + db * eps) - decoder_fn(zb)) / eps
+                zb, db, fb = args
+                return (decoder_fn(zb + db * eps) - fb) / eps
 
-            out = jax.lax.map(one_block_fd, (z_blocks, d_blocks))
+            out = jax.lax.map(one_block_fd, (z_blocks, d_blocks, f_blocks))
             return out.reshape((n,) + out.shape[2:])
 
         return jax.lax.map(probe_dir_fd, dirs)

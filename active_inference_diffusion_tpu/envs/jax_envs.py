@@ -504,6 +504,7 @@ def make_warm_rollout_policy(
     *,
     num_steps: int,
     deterministic: bool = False,
+    deterministic_beliefs: bool = False,
     encode_fn: Optional[Callable] = None,
 ):
     """Warm-start variant of ``make_rollout_policy`` for
@@ -529,7 +530,7 @@ def make_warm_rollout_policy(
         belief = core.generate_beliefs(
             params, belief_key, obs, num_steps=num_steps,
             compute_reconstruction=False, z_init=z_prev,
-            deterministic=deterministic,
+            deterministic=deterministic or deterministic_beliefs,
         )
         actions = _policy_head(
             core, env, params, belief.latent, act_key, deterministic

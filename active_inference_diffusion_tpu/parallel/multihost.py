@@ -38,10 +38,15 @@ def initialize(
     make the real multi-process path always fail; caught by
     tests/test_multihost_mp.py's two-process run).
     """
-    from jax._src import distributed as _dist
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        if is_init():
+            return  # distributed runtime already initialized
+    else:  # older jax without the public accessor
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # distributed runtime already initialized
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
     if coordinator_address is None and num_processes in (None, 1):
         return  # single process, nothing to do
     jax.distributed.initialize(

@@ -432,6 +432,11 @@ def main():
         rewards, states, wstate = collect_warm(wkey, None, wstate)
         rewards.block_until_ready()
         assert bool(jnp.isfinite(rewards).all()), "warm collect non-finite"
+        # second warmup: the carried-EnvState call is a DIFFERENT compile
+        # (new treedef) — without this the first timed rep measures a
+        # recompile, not throughput
+        rewards, states, wstate = collect_warm(wkey, states, wstate)
+        rewards.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(reps):
             wkey, sub = jax.random.split(wkey)

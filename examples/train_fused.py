@@ -187,6 +187,7 @@ def main():
             )
         warm_policy = make_warm_rollout_policy(
             agent.core, env, num_steps=args.warm_start_steps,
+            deterministic_beliefs=config.deterministic_beliefs,
         )
 
     @jax.jit
@@ -196,8 +197,11 @@ def main():
             args.eval_envs,
         )
 
+    # NOTE: exploration on the fused path comes from the policy's own
+    # stochastic sampling (sample_action); TrainingConfig.exploration_noise
+    # is a host-collector knob and has no effect here.
     @jax.jit
-    def collect_and_store(params, replay, env_states, warm_state, key, noise_scale):
+    def collect_and_store(params, replay, env_states, warm_state, key):
         if warm_policy is not None:
             transitions, env_states, warm_state = fused_collect_stateful(
                 env,
@@ -239,8 +243,7 @@ def main():
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
         replay, env_states, warm_state, mean_reward = collect_and_store(
-            state.params, replay, env_states, warm_state, ckey,
-            jnp.asarray(agent.exploration_noise),
+            state.params, replay, env_states, warm_state, ckey
         )
         total_steps += args.num_envs * args.steps_per_iter
 
@@ -256,7 +259,6 @@ def main():
                     key, skey = jax.random.split(key)
                     batch = replay_sample(replay, skey, config.batch_size)
                     state, metrics = agent.train_step(state, batch)
-        agent.update_exploration()
         dt = time.perf_counter() - t0
 
         log = {

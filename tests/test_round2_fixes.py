@@ -459,3 +459,56 @@ def test_score_target_convention_gate():
         return float(terms["score_matching_loss"])
 
     assert score_loss(agent_ref) != score_loss(agent_std)
+
+
+def test_yaml_loading_validates_and_folds_aliases(tmp_path):
+    """The YAML path must get the same __post_init__ validation/alias
+    folding as constructor args (review finding: setattr alone silently
+    bypassed all of it)."""
+    from active_inference_diffusion_tpu.configs.config import load_yaml_config
+
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        """
+active_inference:
+  observation_dim: 3
+  action_dim: 1
+  expected_free_energy_horizon: 7
+  extrinsic_weight: 0.5
+training:
+  total_timesteps: 100
+"""
+    )
+    cfg, _, _ = load_yaml_config(str(good))
+    assert cfg.efe_horizon == 7
+    assert cfg.pragmatic_weight == 0.5
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        """
+active_inference:
+  observation_dim: 3
+  action_dim: 1
+  diffusion:
+    prediction_type: epsilon
+training:
+  total_timesteps: 100
+"""
+    )
+    with pytest.raises(ValueError, match="prediction_type"):
+        load_yaml_config(str(bad))
+
+    typo = tmp_path / "typo.yaml"
+    typo.write_text(
+        """
+active_inference:
+  observation_dim: 3
+  action_dim: 1
+  semantics:
+    mode: faithfull
+training:
+  total_timesteps: 100
+"""
+    )
+    with pytest.raises(ValueError, match="mode"):
+        load_yaml_config(str(typo))
