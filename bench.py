@@ -613,6 +613,29 @@ def main():
     )
 
 
+def other_tpu_job_running() -> bool:
+    """True when a training job of this repo is running (it owns the TPU —
+    only ONE client may talk through the axon tunnel at a time; a second
+    client wedges both). Scans /proc cmdlines directly: pgrep -f can match
+    this process's own parent shell."""
+    import os
+
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace").replace("\x00", " ")
+        except OSError:
+            continue
+        if "python" not in cmd:
+            continue
+        if "train.py" in cmd or "train_fused" in cmd or "train_multichip" in cmd:
+            return True
+    return False
+
+
 def tpu_reachable(timeout: float = 75.0) -> bool:
     """Probe the axon tunnel in a bounded subprocess. When the relay process
     dies, EVERY in-process TPU call (even jax.devices()) hangs with zero
@@ -643,6 +666,12 @@ if __name__ == "__main__":
         # recovery for up to BENCH_TPU_WAIT_SECS, then emit an honest
         # failure JSON instead of no artifact at all.
         deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_SECS", 3600))
+        # Yield to a running training job first (one TPU client at a time):
+        # probing while it runs — let alone benching — can wedge the tunnel
+        # for both. Bounded by the same deadline.
+        while other_tpu_job_running() and time.time() < deadline:
+            log("bench waiting: a training job owns the TPU")
+            time.sleep(60)
         while not tpu_reachable():
             if time.time() > deadline:
                 print(
