@@ -35,7 +35,10 @@ def main():
                                  # -v4 semantics, penalty-approximate
                                  # contacts; runs WITHOUT mujoco-mjx.
                                  "HopperPlanar-v0", "Walker2dPlanar-v0",
-                                 "HalfCheetahPlanar-v0"])
+                                 "HalfCheetahPlanar-v0",
+                                 # 3D sibling (free joint + hinges,
+                                 # envs/rigid3d.py): Ant on device.
+                                 "Ant3D-v0"])
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--steps-per-iter", type=int, default=32)
     parser.add_argument("--updates-per-iter", type=int, default=8)

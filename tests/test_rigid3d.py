@@ -1,0 +1,184 @@
+"""Validation of the 3D rigid-body engine (envs/rigid3d.py, Ant-v4) against
+host MuJoCo's own computations — the same gates as the planar engine
+(tests/test_planar_physics.py) plus the quaternion-manifold specifics:
+
+- 3D forward kinematics (free joint + arbitrary-axis hinges) vs
+  ``mj_kinematics`` (positions AND rotation matrices)
+- mass matrix in qvel space (local-chart Jacobians, iframe-rotated full
+  inertia tensors, armature) vs ``mj_fullM`` — this pins MuJoCo's free-joint
+  velocity convention (world-frame linear, body-frame angular)
+- bias forces via the Christoffel identity in the EXACT chart vs
+  ``mj_rne(flg_acc=0)`` (a u=0-linearized angular Jacobian fails this at
+  ~1e-2 — the gate that caught it)
+- whole contact-free trajectories (manifold RK4 through the quaternion
+  exponential) vs ``mj_step``
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+import gymnasium.envs.mujoco as gym_mujoco
+
+from active_inference_diffusion_tpu.envs import rigid3d
+
+_F64_FIELDS = [
+    "body_pos", "body_ipos", "mass", "inertia", "jnt_axis", "jnt_anchor",
+    "qpos0", "jnt_range", "jnt_limited", "damping", "armature", "gear",
+    "ctrlrange", "cp_offset", "cp_radius", "cp_friction",
+]
+
+
+def host_model(disable_constraints=False):
+    xml = os.path.join(
+        os.path.dirname(gym_mujoco.__file__), "assets", "ant.xml"
+    )
+    m = mujoco.MjModel.from_xml_path(xml)
+    if disable_constraints:
+        m.opt.disableflags |= (
+            mujoco.mjtDisableBit.mjDSBL_CONTACT
+            | mujoco.mjtDisableBit.mjDSBL_LIMIT
+        )
+    return m
+
+
+def f64_model():
+    pm = rigid3d.extract_rigid3d_model("Ant-v4")
+    return pm._replace(
+        **{k: jnp.asarray(getattr(pm, k), jnp.float64) for k in _F64_FIELDS}
+    )
+
+
+def random_state(m, rng):
+    qpos = np.array(m.qpos0)
+    qpos[0:3] += rng.uniform(-0.5, 0.5, 3)
+    q = rng.normal(size=4)
+    qpos[3:7] = q / np.linalg.norm(q)
+    qpos[7:] = rng.uniform(-0.5, 0.5, m.nq - 7)
+    qvel = rng.uniform(-1.0, 1.0, m.nv)
+    return qpos, qvel
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def test_kinematics_match_mujoco():
+    m = host_model()
+    d = mujoco.MjData(m)
+    pm = f64_model()
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        qpos, _ = random_state(m, rng)
+        d.qpos[:] = qpos
+        mujoco.mj_kinematics(m, d)
+        pos, rot = rigid3d.forward_kinematics(pm, jnp.asarray(qpos))
+        np.testing.assert_allclose(np.asarray(pos), d.xpos, atol=1e-7)
+        for b in range(m.nbody):
+            Rm = np.zeros(9)
+            mujoco.mju_quat2Mat(Rm, d.xquat[b])
+            np.testing.assert_allclose(
+                np.asarray(rot[b]), Rm.reshape(3, 3), atol=1e-7
+            )
+
+
+def test_mass_matrix_and_bias_match_mujoco():
+    m = host_model()
+    d = mujoco.MjData(m)
+    pm = f64_model()
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        qpos, qvel = random_state(m, rng)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mujoco.mj_forward(m, d)
+        M = np.zeros((m.nv, m.nv))
+        mujoco.mj_fullM(m, d, M)
+        np.testing.assert_allclose(
+            np.asarray(rigid3d.mass_matrix(pm, jnp.asarray(qpos))),
+            M, atol=1e-6,
+        )
+        bias = np.zeros(m.nv)
+        mujoco.mj_rne(m, d, 0, bias)
+        np.testing.assert_allclose(
+            np.asarray(
+                rigid3d.bias_forces(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+            ),
+            bias, atol=1e-5,
+        )
+
+
+def test_contact_free_trajectory_matches_mj_step():
+    m = host_model(disable_constraints=True)
+    d = mujoco.MjData(m)
+    pm = f64_model()
+    pm = pm._replace(jnt_limited=jnp.zeros_like(pm.jnt_limited), n_substeps=1)
+    rng = np.random.default_rng(2)
+    qpos = np.array(m.qpos0)
+    qpos[2] += 2.0  # well above the floor
+    qvel = rng.uniform(-0.5, 0.5, m.nv)
+    ctrl = rng.uniform(-0.3, 0.3, m.nu)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    d.ctrl[:] = ctrl
+    for _ in range(50):
+        mujoco.mj_step(m, d)
+    q, qd = rigid3d.step_physics(
+        pm, jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl), 50
+    )
+    np.testing.assert_allclose(np.asarray(q), d.qpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qd), d.qvel, atol=1e-5)
+
+
+def test_env_contact_stability_and_semantics():
+    env = rigid3d.Rigid3DEnv("Ant-v4")
+    assert env.observation_dim == 27  # Ant-v4 default (no contact forces)
+    assert env.action_dim == 8
+
+    step = jax.jit(env.step)
+    state = env.reset(jax.random.PRNGKey(0))
+    # zero-action: settles on the floor within the healthy z range
+    for _ in range(120):
+        state = step(state, jnp.zeros(env.action_dim))
+    z = float(state.physics[2])
+    assert 0.1 < z < 1.0 and bool(jnp.isfinite(state.physics).all())
+
+    state = env.reset(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    terminated_seen = False
+    for _ in range(150):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (8,), minval=-1.0, maxval=1.0)
+        state = step(state, a)
+        assert bool(jnp.isfinite(state.obs).all())
+        assert bool(jnp.isfinite(state.reward))
+        terminated_seen |= bool(state.terminated)
+    assert terminated_seen  # random ant flips outside healthy z
+
+
+def test_fused_collect_on_ant3d():
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        fused_collect,
+        make_jax_env,
+    )
+
+    env = make_jax_env("Ant3D-v0")
+
+    def random_policy(obs, key):
+        return jax.random.uniform(
+            key, (obs.shape[0], env.action_dim), minval=-1.0, maxval=1.0
+        )
+
+    transitions, _ = jax.jit(
+        lambda k: fused_collect(env, random_policy, k, 3, 6)
+    )(jax.random.PRNGKey(0))
+    assert transitions.observations.shape == (6, 3, 27)
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
+    assert transitions.terminateds.dtype == bool
