@@ -152,15 +152,20 @@ def test_env_contact_stability_and_semantics():
 
     state = env.reset(jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(2)
-    terminated_seen = False
     for _ in range(150):
         key, k = jax.random.split(key)
         a = jax.random.uniform(k, (8,), minval=-1.0, maxval=1.0)
         state = step(state, a)
         assert bool(jnp.isfinite(state.obs).all())
         assert bool(jnp.isfinite(state.reward))
-        terminated_seen |= bool(state.terminated)
-    assert terminated_seen  # random ant flips outside healthy z
+
+    # termination predicate: drive the torso above the healthy z range
+    high = state.replace(
+        physics=state.physics.at[2].set(1.5), step_count=jnp.asarray(1, jnp.int32)
+    )
+    after = step(high, jnp.zeros(env.action_dim))
+    # one step of free fall from z=1.5 stays > 1.0 -> unhealthy -> terminated
+    assert bool(after.terminated)
 
 
 def test_fused_collect_on_ant3d():
@@ -182,3 +187,102 @@ def test_fused_collect_on_ant3d():
     assert transitions.observations.shape == (6, 3, 27)
     assert np.isfinite(np.asarray(transitions.rewards)).all()
     assert transitions.terminateds.dtype == bool
+
+
+# ---------------------------------------------------------------------------
+# Humanoid: the physics and c-frame observation layers are validated even
+# though the env is gated (penalty limit springs are not yet stable under
+# gear-300 torques — see Rigid3DEnv.EXPERIMENTAL).
+# ---------------------------------------------------------------------------
+
+
+def humanoid_host():
+    xml = os.path.join(
+        os.path.dirname(gym_mujoco.__file__), "assets", "humanoid.xml"
+    )
+    return mujoco.MjModel.from_xml_path(xml)
+
+
+def humanoid_f64():
+    pm = rigid3d.extract_rigid3d_model("Humanoid-v4")
+    return pm._replace(
+        **{k: jnp.asarray(getattr(pm, k), jnp.float64) for k in _F64_FIELDS}
+    )
+
+
+def test_humanoid_physics_matches_mujoco():
+    """Free joint + 17 hinges + body quats + joint springs: FK, mass matrix,
+    bias, and a 50-step contact-free trajectory all match MuJoCo."""
+    m = humanoid_host()
+    d = mujoco.MjData(m)
+    pm = humanoid_f64()
+    rng = np.random.default_rng(5)
+    qpos, qvel = random_state(m, rng)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    mujoco.mj_forward(m, d)
+    pos, _ = rigid3d.forward_kinematics(pm, jnp.asarray(qpos))
+    np.testing.assert_allclose(np.asarray(pos), d.xpos, atol=1e-7)
+    M = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M)
+    np.testing.assert_allclose(
+        np.asarray(rigid3d.mass_matrix(pm, jnp.asarray(qpos))), M, atol=1e-6
+    )
+    bias = np.zeros(m.nv)
+    mujoco.mj_rne(m, d, 0, bias)
+    np.testing.assert_allclose(
+        np.asarray(rigid3d.bias_forces(pm, jnp.asarray(qpos), jnp.asarray(qvel))),
+        bias, atol=1e-4,
+    )
+
+    m2 = humanoid_host()
+    m2.opt.disableflags |= (
+        mujoco.mjtDisableBit.mjDSBL_CONTACT | mujoco.mjtDisableBit.mjDSBL_LIMIT
+    )
+    d2 = mujoco.MjData(m2)
+    qpos = np.array(m2.qpos0)
+    qpos[2] += 2.0
+    qvel = rng.uniform(-0.5, 0.5, m2.nv)
+    ctrl = rng.uniform(-0.3, 0.3, m2.nu)
+    d2.qpos[:] = qpos
+    d2.qvel[:] = qvel
+    d2.ctrl[:] = ctrl
+    for _ in range(50):
+        mujoco.mj_step(m2, d2)
+    pmt = pm._replace(jnt_limited=jnp.zeros_like(pm.jnt_limited), n_substeps=1)
+    q, qd = rigid3d.step_physics(
+        pmt, jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl), 50
+    )
+    np.testing.assert_allclose(np.asarray(q), d2.qpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qd), d2.qvel, atol=1e-4)
+
+
+def test_humanoid_com_frame_fields_match_mujoco():
+    """cinert and cvel (Humanoid's 376-dim obs building blocks) match
+    mj_forward's own d.cinert / d.cvel exactly."""
+    m = humanoid_host()
+    d = mujoco.MjData(m)
+    pm = humanoid_f64()
+    rng = np.random.default_rng(6)
+    qpos, qvel = random_state(m, rng)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    mujoco.mj_forward(m, d)
+    cf = rigid3d.com_frame_fields(
+        pm, jnp.asarray(qpos), jnp.asarray(qvel), jnp.zeros(17)
+    )
+    np.testing.assert_allclose(np.asarray(cf["cinert"]), d.cinert, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf["cvel"]), d.cvel, atol=1e-6)
+    # qfrc_actuator layout: gear-scaled controls at the actuated dofs
+    ctrl = rng.uniform(-1, 1, 17)
+    d.ctrl[:] = ctrl
+    mujoco.mj_forward(m, d)
+    qa = np.asarray(
+        rigid3d.applied_torques(pm, jnp.asarray(ctrl))
+    )
+    np.testing.assert_allclose(qa, d.qfrc_actuator, atol=1e-9)
+
+
+def test_humanoid_env_gated():
+    with pytest.raises(NotImplementedError, match="limit"):
+        rigid3d.Rigid3DEnv("Humanoid-v4")
