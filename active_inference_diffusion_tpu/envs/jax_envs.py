@@ -278,12 +278,13 @@ def make_jax_env(name: str) -> JaxEnv:
         from .planar import PlanarMJCEnv
 
         return PlanarMJCEnv(name.replace("Planar-v0", "-v4"))
-    if name == "Ant3D-v0":
+    if name in ("Ant3D-v0", "Humanoid3D-v0", "HumanoidStandup3D-v0"):
         # 3D sibling (free joint + hinges, envs/rigid3d.py): exact smooth
-        # dynamics on the quaternion manifold, penalty contacts.
+        # dynamics on the quaternion manifold, penalty contacts,
+        # constraint-based joint limits.
         from .rigid3d import Rigid3DEnv
 
-        return Rigid3DEnv("Ant-v4")
+        return Rigid3DEnv(name.replace("3D-v0", "-v4"))
     # MuJoCo tasks route to the MJX adapter (exact Gymnasium -v4 semantics,
     # envs/mujoco_tasks.py); raises a clear ImportError when mujoco-mjx is
     # not installed.

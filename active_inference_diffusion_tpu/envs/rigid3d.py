@@ -99,6 +99,12 @@ class Rigid3DModel(NamedTuple):
     # not springs); the clamp bounds that failure to already-nonphysical
     # trajectories instead of letting them overflow to NaN.
     max_qvel: float
+    # "constraint": joint limits as velocity-level unilateral constraints
+    # solved by projected Gauss-Seidel impulses after each substep (the way
+    # MuJoCo treats them — solver constraints, not forces). "spring": the
+    # one-sided inertia-scaled penalty springs (legacy; unstable under the
+    # humanoid's gear-300 torques).
+    limit_model: str
 
 
 def _quat_to_mat_np(q) -> np.ndarray:
@@ -119,6 +125,7 @@ def extract_rigid3d_model(
     slip_velocity: float = 0.05,
     n_substeps: int = 1,
     max_qvel: float = 100.0,
+    limit_model: str = "constraint",
 ) -> Rigid3DModel:
     """Contact-penalty constants are PER POINT, scaled by each point's
     constraint-space effective mass m_eff = 1/(J_z M⁻¹ J_zᵀ) (computed at
@@ -278,6 +285,7 @@ def extract_rigid3d_model(
         n_substeps=n_substeps,
         slip_velocity=slip_velocity,
         max_qvel=max_qvel,
+        limit_model=limit_model,
     )
 
 
@@ -508,7 +516,10 @@ def passive_and_limit_forces(
         out = out.at[dadr].add(
             -k_spring * (qpos[qadr] - model.springref[qadr].astype(dtype))
         )
-    # one-sided limit springs on limited hinges (inertia-scaled constants)
+    # one-sided limit springs on limited hinges (inertia-scaled constants);
+    # in "constraint" mode limits are impulses, not forces (_limit_projection)
+    if model.limit_model == "constraint":
+        return out
     for j in range(len(model.jnt_body)):
         if model.jnt_type[j] != _HINGE:
             continue
@@ -640,6 +651,80 @@ def qacc(
     return jnp.linalg.solve(M, rhs)
 
 
+def _limited_hinges(model: Rigid3DModel) -> list:
+    """Static list of limited-hinge joint indices (model arrays are concrete
+    at trace time — the env closes over them)."""
+    limited = np.asarray(model.jnt_limited)
+    return [
+        j
+        for j in range(len(model.jnt_body))
+        if model.jnt_type[j] == _HINGE and float(limited[j]) > 0.0
+    ]
+
+
+def limit_projection(
+    model: Rigid3DModel,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    h: float,
+    n_iters: int = 8,
+    beta: float = 0.2,
+    max_bias_vel: float = 2.0,
+) -> jnp.ndarray:
+    """Joint limits as velocity-level unilateral constraints, the way MuJoCo
+    treats them (solver constraints — reference trains on gym.make MuJoCo
+    envs whose limits come from the mjCONSTRAINT solver, not springs).
+
+    For each limited hinge in violation, an impulse λ ≥ 0 along the outward
+    normal n_j (±e_j in dof space) enforces n_j·v' ≥ bias_j, where
+    bias_j = min(β·C_j/h, max_bias_vel) is a Baumgarte term that removes the
+    position error C_j over a few substeps. Impulses couple through M⁻¹
+    (Δv = M⁻¹ N λ), solved by projected Gauss-Seidel over the (static) set
+    of limited hinges. Unlike the spring model this cannot inject energy
+    into limit cycles: sustained max-gear torque against a limit just pins
+    the joint at the limit (the instability that kept Humanoid gated —
+    springs at gear-300 torques pump energy faster than any explicit-stable
+    stiffness can dissipate at dt=0.003)."""
+    lim = _limited_hinges(model)
+    if not lim:
+        return qvel
+    dtype = qpos.dtype
+    qadr = jnp.asarray([model.jnt_qposadr[j] for j in lim])
+    dadr = jnp.asarray([model.jnt_dofadr[j] for j in lim])
+    lim_idx = jnp.asarray(lim)
+    lo = model.jnt_range[lim_idx, 0].astype(dtype)
+    hi = model.jnt_range[lim_idx, 1].astype(dtype)
+
+    q = qpos[qadr]
+    c_lo = lo - q  # > 0 when below the lower limit
+    c_hi = q - hi  # > 0 when above the upper limit
+    n = jnp.where(c_lo > c_hi, 1.0, -1.0).astype(dtype)  # outward normal sign
+    viol = jnp.maximum(jnp.maximum(c_lo, c_hi), 0.0)
+    active = (viol > 0.0).astype(dtype)
+    bias = jnp.minimum(beta * viol / jnp.asarray(h, dtype), max_bias_vel)
+
+    minv = jnp.linalg.inv(mass_matrix(model, qpos))
+    cols = minv[:, dadr] * n[None, :]  # Δv per unit λ, (nv, nl)
+    a_diag = jnp.diagonal(minv[dadr][:, dadr])  # n_j² = 1
+
+    def gs_sweep(carry):
+        v, lam = carry
+        for i in range(len(lim)):  # static unroll over limited hinges
+            dl = (bias[i] - n[i] * v[dadr[i]]) / a_diag[i]
+            new = jnp.maximum(lam[i] + dl, 0.0) * active[i]
+            v = v + cols[:, i] * (new - lam[i])
+            lam = lam.at[i].set(new)
+        return v, lam
+
+    v, _ = jax.lax.fori_loop(
+        0,
+        n_iters,
+        lambda _, c: gs_sweep(c),
+        (qvel, jnp.zeros((len(lim),), dtype)),
+    )
+    return v
+
+
 def step_physics(
     model: Rigid3DModel,
     qpos: jnp.ndarray,
@@ -672,6 +757,8 @@ def step_physics(
         ) / 6.0
         q_new = integrate_pos(model, q, vel_mean, h)
         qd_new = qd + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        if model.limit_model == "constraint":
+            qd_new = limit_projection(model, q_new, qd_new, h)
         qd_new = jnp.clip(qd_new, -model.max_qvel, model.max_qvel)
         return (q_new, qd_new), None
 
@@ -692,48 +779,42 @@ class Rigid3DEnv(JaxEnv):
     ``planar.PlanarMJCEnv``. Humanoid's 376-dim full-body observation
     (cinert/cvel/qfrc_actuator/cfrc_ext) is built by ``com_frame_fields``
     (layouts validated against mj_forward; cfrc_ext is the penalty
-    approximation)."""
+    approximation). Joint limits are velocity-level constraints solved by
+    PGS impulses (``limit_projection``) — the spring model that kept the
+    humanoid family gated is retained only behind ``limit_model='spring'``."""
 
-    TASKS = ("Ant-v4",)
-    # Humanoid physics and the 376-dim c-frame observation layer are fully
-    # implemented and VALIDATED against MuJoCo (tests/test_rigid3d.py:
-    # FK/mass-matrix/bias/contact-free trajectories and cinert/cvel all match
-    # to <=3e-6), but the penalty joint-limit model is not yet stable under
-    # the humanoid's gear-300 torques (MuJoCo's limits are solver
-    # CONSTRAINTS, not springs; sustained max-torque flailing pumps energy
-    # into limit cycles faster than any stable explicit spring can dissipate
-    # at dt=0.003). Gated until the limit model is constraint-based.
-    EXPERIMENTAL = ("Humanoid-v4", "HumanoidStandup-v4")
+    TASKS = ("Ant-v4", "Humanoid-v4", "HumanoidStandup-v4")
 
     def __init__(self, env_name: str, **penalty_overrides):
-        if env_name in self.EXPERIMENTAL:
-            raise NotImplementedError(
-                f"{env_name}: physics + observation layers are validated "
-                "(tests/test_rigid3d.py) but the penalty limit-spring model "
-                "is not yet stable under humanoid gear torques; env gated. "
-                "Use the host Gymnasium backend (train.py) or MJX."
-            )
         if env_name not in self.TASKS:
             raise ValueError(f"{env_name} not supported; have {self.TASKS}")
         self.env_name = env_name
         self.spec = TASK_SPECS[env_name]
         if (
             (self.spec.full_body_obs or self.spec.standup)
+            and penalty_overrides.get("limit_model") == "spring"
             and "n_substeps" not in penalty_overrides
         ):
-            # humanoid family: gear-300 torques against penalty limits need
-            # the finer integration (ant is stable at 1)
+            # legacy spring limits: gear-300 torques against penalty limit
+            # springs need finer integration (and still eventually diverge —
+            # constraint mode, the default, is stable at n_substeps=1)
             penalty_overrides = dict(penalty_overrides, n_substeps=3,
                                      contact_omega=83.0)
         self.model = extract_rigid3d_model(env_name, **penalty_overrides)
         self.nq, self.nv = self.model.nq, self.model.nv
         self.nbody = len(self.model.parent)
+        # shape-only trace: the humanoid's 376-dim observation goes through
+        # second-order-AD c-frame fields — evaluating it eagerly on the host
+        # just to learn its length takes minutes; eval_shape is instant.
         self.observation_dim = int(
-            task_observation(
-                self.spec,
-                self._fields(
-                    jnp.asarray(self.model.qpos0), jnp.zeros(self.nv),
-                    jnp.zeros(int(self.model.act_dof.shape[0])),
+            jax.eval_shape(
+                lambda qpos, qvel, ctrl: task_observation(
+                    self.spec, self._fields(qpos, qvel, ctrl)
+                ),
+                jax.ShapeDtypeStruct((self.model.nq,), jnp.float32),
+                jax.ShapeDtypeStruct((self.model.nv,), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (int(self.model.act_dof.shape[0]),), jnp.float32
                 ),
             ).shape[0]
         )

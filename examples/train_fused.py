@@ -37,8 +37,10 @@ def main():
                                  "HopperPlanar-v0", "Walker2dPlanar-v0",
                                  "HalfCheetahPlanar-v0",
                                  # 3D sibling (free joint + hinges,
-                                 # envs/rigid3d.py): Ant on device.
-                                 "Ant3D-v0"])
+                                 # envs/rigid3d.py): Ant/Humanoid family on
+                                 # device, constraint-based joint limits.
+                                 "Ant3D-v0", "Humanoid3D-v0",
+                                 "HumanoidStandup3D-v0"])
     parser.add_argument("--num-envs", type=int, default=64)
     parser.add_argument("--steps-per-iter", type=int, default=32)
     parser.add_argument("--updates-per-iter", type=int, default=8)

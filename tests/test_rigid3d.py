@@ -190,9 +190,8 @@ def test_fused_collect_on_ant3d():
 
 
 # ---------------------------------------------------------------------------
-# Humanoid: the physics and c-frame observation layers are validated even
-# though the env is gated (penalty limit springs are not yet stable under
-# gear-300 torques — see Rigid3DEnv.EXPERIMENTAL).
+# Humanoid: physics + c-frame observation layers validated against MuJoCo;
+# the env runs on constraint-based joint limits (limit_projection).
 # ---------------------------------------------------------------------------
 
 
@@ -283,6 +282,76 @@ def test_humanoid_com_frame_fields_match_mujoco():
     np.testing.assert_allclose(qa, d.qfrc_actuator, atol=1e-9)
 
 
-def test_humanoid_env_gated():
-    with pytest.raises(NotImplementedError, match="limit"):
-        rigid3d.Rigid3DEnv("Humanoid-v4")
+def test_limit_projection_stops_outward_motion():
+    """A hinge past its limit moving further out gets its outward velocity
+    removed (plus a small Baumgarte push-back), coupled through M⁻¹."""
+    pm = f64_model()
+    lim = rigid3d._limited_hinges(pm)
+    j = lim[0]
+    qadr, dadr = pm.jnt_qposadr[j], pm.jnt_dofadr[j]
+    hi = float(pm.jnt_range[j, 1])
+    qpos = jnp.asarray(np.array(pm.qpos0)).at[2].add(2.0)
+    qpos = qpos.at[qadr].set(hi + 0.05)  # beyond the upper limit
+    qvel = jnp.zeros(pm.nv, jnp.float64).at[dadr].set(3.0)  # moving outward
+    v = rigid3d.limit_projection(pm, qpos, qvel, h=1e-3)
+    # outward velocity gone; Baumgarte bias pushes back toward the range
+    assert float(v[dadr]) <= 1e-9
+    # with every limited joint strictly in-range, any motion is untouched
+    # (note Ant's qpos0 itself VIOLATES its ankle ranges [30deg, 70deg] —
+    # in MuJoCo the limit constraint snaps them in-range at t=0, and
+    # limit_projection correctly engages there too)
+    qpos_mid = np.array(pm.qpos0)
+    for jj in lim:
+        qpos_mid[pm.jnt_qposadr[jj]] = float(
+            0.5 * (pm.jnt_range[jj, 0] + pm.jnt_range[jj, 1])
+        )
+    free_j = lim[1]
+    qvel2 = jnp.zeros(pm.nv, jnp.float64).at[pm.jnt_dofadr[free_j]].set(1.0)
+    v2 = rigid3d.limit_projection(pm, jnp.asarray(qpos_mid), qvel2, h=1e-3)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(qvel2), atol=1e-12)
+
+
+def test_humanoid_env_stable_under_max_torque():
+    """The configuration that kept the env gated under limit springs:
+    sustained max-gear torques. Constraint-based limits keep the state
+    finite, velocities bounded, and joints pinned near their ranges."""
+    env = rigid3d.Rigid3DEnv("Humanoid-v4")
+    assert env.observation_dim == 376
+    assert env.action_dim == 17
+
+    step = jax.jit(env.step)
+    state = env.reset(jax.random.PRNGKey(1))
+    ones = jnp.ones(env.action_dim) * 0.4  # full ctrlrange
+    for i in range(60):
+        state = step(state, ones if i % 2 == 0 else -ones)
+    assert bool(jnp.isfinite(state.physics).all())
+    assert float(jnp.max(jnp.abs(state.physics[env.nq:]))) < 60.0
+
+    lim = rigid3d._limited_hinges(env.model)
+    qadr = np.asarray([env.model.jnt_qposadr[j] for j in lim])
+    lo = np.asarray(env.model.jnt_range)[lim, 0]
+    hi = np.asarray(env.model.jnt_range)[lim, 1]
+    q = np.asarray(state.physics[: env.nq])[qadr]
+    viol = np.maximum(np.maximum(lo - q, q - hi), 0.0)
+    assert float(viol.max()) < 0.15  # radians; springs overflowed to NaN here
+
+    # unhealthy-z termination (Humanoid healthy range is z in (1.0, 2.0))
+    low = state.replace(
+        physics=state.physics.at[2].set(0.5),
+        step_count=jnp.asarray(1, jnp.int32),
+    )
+    after = step(low, jnp.zeros(env.action_dim))
+    assert bool(after.terminated)
+
+
+def test_humanoid_standup_env_smoke():
+    env = rigid3d.Rigid3DEnv("HumanoidStandup-v4")
+    assert env.observation_dim == 376
+    step = jax.jit(env.step)
+    state = env.reset(jax.random.PRNGKey(0))
+    for _ in range(20):
+        state = step(state, jnp.zeros(env.action_dim))
+    assert bool(jnp.isfinite(state.obs).all())
+    assert bool(jnp.isfinite(state.reward))
+    # standup never terminates early (no healthy gate)
+    assert not bool(state.terminated)
