@@ -270,6 +270,12 @@ def make_jax_env(name: str) -> JaxEnv:
         from .pixel_render import make_planar_pixels
 
         return make_planar_pixels(name.replace("PlanarPixels-v0", "-v4"))
+    if name.endswith("3DPixels-v0"):
+        # On-device rendered pixel variant of the 3D Ant/Humanoid family
+        # (perspective tracking camera; envs/pixel_render.py).
+        from .pixel_render import make_rigid3d_pixels
+
+        return make_rigid3d_pixels(name.replace("3DPixels-v0", "-v4"))
     if name.endswith("Planar-v0"):
         # From-scratch planar physics for the 2D MuJoCo tasks: exact smooth
         # dynamics + exact -v4 task semantics, penalty-approximate contacts

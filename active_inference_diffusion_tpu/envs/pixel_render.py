@@ -15,9 +15,10 @@ physics underneath, frame-stacked so velocity is visible — the same
 observation contract as ``make_pixel_mujoco`` (84x84, stack 3,
 channels-first uint8).
 
-Envs: ``PendulumPixels`` / ``ReacherPixels`` (analytic physics) and
+Envs: ``PendulumPixels`` / ``ReacherPixels`` (analytic physics),
 ``make_planar_pixels`` (the planar MuJoCo tasks of envs/planar.py with a
-tracking camera).
+tracking camera), and ``make_rigid3d_pixels`` (the 3D Ant/Humanoid family
+of envs/rigid3d.py through a perspective tracking camera).
 """
 
 from __future__ import annotations
@@ -266,3 +267,130 @@ def make_planar_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
 
     _PlanarPixels.__name__ = env_name.replace("-v4", "PlanarPixels")
     return _PlanarPixels()
+
+
+def make_rigid3d_pixels(env_name: str, size: int = 84, frame_stack: int = 3):
+    """Pixel variant of a 3D task (Ant/Humanoid family, envs/rigid3d.py):
+    a perspective pinhole camera tracking the torso (MuJoCo 'trackcom'
+    style), each capsule/sphere geom projected and composited back-to-front
+    (painter's algorithm over the static geom set, ordered per frame by
+    camera depth), and a ray-cast ground checkerboard so ego-motion is
+    visible under the tracking camera. All inside the jitted program — the
+    3D sibling of ``make_planar_pixels``; the reference's only pixel path is
+    host MuJoCo rendering (reference envs/pixel_wrappers.py:101-204).
+
+    Registered names: ``Ant3DPixels-v0`` / ``Humanoid3DPixels-v0``
+    (envs/jax_envs.make_jax_env).
+    """
+    from .rigid3d import Rigid3DEnv, forward_kinematics
+
+    class _Rigid3DPixels(PixelStackMixin, Rigid3DEnv):
+        def __init__(self):
+            super().__init__(env_name)
+            self._init_raster(size, frame_stack)
+            # trackcom-style camera: fixed world-axes offset from the torso,
+            # looking at it. Ant: distance ~4 like the Gymnasium viewer;
+            # humanoid family: closer, so the ~1.5 m figure fills the frame.
+            if self.spec.full_body_obs or self.spec.standup:
+                self._cam_offset = jnp.array([-1.6, -1.6, 0.8])
+                self._look_offset = jnp.array([0.0, 0.0, -0.25])
+            else:
+                self._cam_offset = jnp.array([-2.4, -2.4, 1.7])
+                self._look_offset = jnp.array([0.0, 0.0, 0.0])
+            # pinhole focal length: ~45 deg vertical FOV
+            self._focal = (size / 2.0) / jnp.tan(jnp.deg2rad(45.0) / 2.0)
+            self._floor_a = jnp.array([214.0, 206.0, 188.0])
+            self._floor_b = jnp.array([176.0, 168.0, 150.0])
+            self._sky = jnp.array([250.0, 250.0, 255.0])
+
+        def render_frame(self, qpos: jnp.ndarray) -> jnp.ndarray:
+            model = self.model
+            pos, rot = forward_kinematics(model, qpos)
+            torso = pos[1]
+            cam = torso + self._cam_offset
+            # camera basis: z forward (toward torso), y down, x right
+            fwd = torso + self._look_offset - cam
+            fwd = fwd / jnp.linalg.norm(fwd)
+            up = jnp.array([0.0, 0.0, 1.0])
+            right = jnp.cross(fwd, up)
+            right = right / jnp.linalg.norm(right)
+            down = jnp.cross(fwd, right)  # right-handed: screen y grows down
+            rc = jnp.stack([right, down, fwd])  # world->cam rows
+
+            half = self.size / 2.0
+
+            def to_cam(p):
+                return rc @ (p - cam)
+
+            def project(pc):
+                z = jnp.maximum(pc[2], 0.3)  # clamp behind-camera points
+                return half + self._focal * pc[:2] / z
+
+            # ---- ground: per-pixel ray cast to z=0, checker in world xy
+            dirs = jnp.stack(
+                [
+                    (self._xx - half) / self._focal,
+                    (self._yy - half) / self._focal,
+                    jnp.ones_like(self._xx),
+                ],
+                axis=-1,
+            )  # (H, W, 3) in camera coords
+            dirs_w = jnp.einsum("ij,hwj->hwi", rc.T, dirs)
+            dz = dirs_w[..., 2]
+            t_hit = -cam[2] / jnp.where(dz < -1e-6, dz, -1e-6)
+            hit = (dz < -1e-6) & (t_hit > 0.0)
+            gx = cam[0] + t_hit * dirs_w[..., 0]
+            gy = cam[1] + t_hit * dirs_w[..., 1]
+            checker = jnp.mod(jnp.floor(gx) + jnp.floor(gy), 2.0)
+            ground = (
+                self._floor_a[None, None, :] * (1 - checker)[..., None]
+                + self._floor_b[None, None, :] * checker[..., None]
+            )
+            # fade distant ground toward the sky for a depth cue
+            fade = jnp.clip(t_hit / 40.0, 0.0, 1.0)[..., None]
+            ground = ground * (1 - fade) + self._sky[None, None, :] * fade
+            canvas = jnp.where(
+                hit[..., None], ground, self._sky[None, None, :]
+            )
+
+            # ---- geoms: project segments, composite far-to-near
+            a_w = pos[model.rg_body] + jnp.einsum(
+                "gij,gj->gi", rot[model.rg_body], model.rg_a
+            )
+            b_w = pos[model.rg_body] + jnp.einsum(
+                "gij,gj->gi", rot[model.rg_body], model.rg_b
+            )
+            a_c = jax.vmap(to_cam)(a_w)
+            b_c = jax.vmap(to_cam)(b_w)
+            pa = jax.vmap(project)(a_c)
+            pb = jax.vmap(project)(b_c)
+            z_mid = jnp.maximum(0.5 * (a_c[:, 2] + b_c[:, 2]), 0.3)
+            r_px = jnp.maximum(
+                model.rg_radius * self._focal / z_mid, 1.2
+            )
+
+            def geom_alpha(p0, p1, rr):
+                return jnp.clip(
+                    rr + 0.5 - _segment_distance(self._yy, self._xx, p0, p1),
+                    0.0,
+                    1.0,
+                )
+
+            alphas = jax.vmap(geom_alpha)(pa, pb, r_px)  # (ng, H, W)
+            colors = _BODY_PALETTE[
+                jnp.asarray(model.rg_body) % len(_BODY_PALETTE)
+            ]  # (ng, 3)
+            order = jnp.argsort(-z_mid)  # far first
+
+            def composite(canvas, g):
+                al = alphas[g][..., None]
+                return canvas * (1 - al) + colors[g][None, None, :] * al, None
+
+            canvas, _ = jax.lax.scan(composite, canvas, order)
+            return jnp.moveaxis(canvas, -1, 0).astype(jnp.uint8)
+
+        def _render_state(self, state: EnvState) -> jnp.ndarray:
+            return self.render_frame(state.physics[: self.nq])
+
+    _Rigid3DPixels.__name__ = env_name.replace("-v4", "3DPixels")
+    return _Rigid3DPixels()

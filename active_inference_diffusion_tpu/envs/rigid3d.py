@@ -82,6 +82,12 @@ class Rigid3DModel(NamedTuple):
     cp_offset: jnp.ndarray  # (ncp, 3) in body frame
     cp_radius: jnp.ndarray  # (ncp,)
     cp_friction: jnp.ndarray  # (ncp,)
+    # render geoms (capsule segments; spheres have a == b) for the
+    # on-device pixel variants (pixel_render.make_rigid3d_pixels)
+    rg_body: jnp.ndarray  # (ng,)
+    rg_a: jnp.ndarray  # (ng, 3) body-frame endpoint
+    rg_b: jnp.ndarray  # (ng, 3) body-frame endpoint
+    rg_radius: jnp.ndarray  # (ng,)
     cp_k: jnp.ndarray  # (ncp,) per-point normal stiffness (m_eff-scaled)
     cp_c: jnp.ndarray  # (ncp,) per-point normal damping
     limit_k: jnp.ndarray  # (nj,) per-joint limit spring (inertia-scaled)
@@ -182,6 +188,7 @@ def extract_rigid3d_model(
             floor_mu = max(floor_mu, float(m.geom_friction[g][0]))
 
     cp_body, cp_offset, cp_radius, cp_friction = [], [], [], []
+    rg_body, rg_a, rg_b, rg_radius = [], [], [], []
     for g in range(m.ngeom):
         b = int(m.geom_bodyid[g])
         if b == 0:
@@ -198,11 +205,19 @@ def extract_rigid3d_model(
                 cp_offset.append(pos + s * half * axis)
                 cp_radius.append(r)
                 cp_friction.append(mu)
+            rg_body.append(b)
+            rg_a.append(pos - half * axis)
+            rg_b.append(pos + half * axis)
+            rg_radius.append(r)
         elif gtype == _SPHERE:
             cp_body.append(b)
             cp_offset.append(pos)
             cp_radius.append(float(m.geom_size[g][0]))
             cp_friction.append(mu)
+            rg_body.append(b)
+            rg_a.append(pos)
+            rg_b.append(pos)
+            rg_radius.append(float(m.geom_size[g][0]))
 
     damping = np.asarray(m.dof_damping, np.float64)
     armature = np.asarray(m.dof_armature, np.float64)
@@ -276,6 +291,10 @@ def extract_rigid3d_model(
         cp_friction=f32(np.asarray(cp_friction)),
         cp_k=f32(np.asarray(cp_k)),
         cp_c=f32(np.asarray(cp_c)),
+        rg_body=jnp.asarray(np.asarray(rg_body), jnp.int32),
+        rg_a=f32(np.asarray(rg_a)),
+        rg_b=f32(np.asarray(rg_b)),
+        rg_radius=f32(np.asarray(rg_radius)),
         limit_k=f32(limit_k),
         limit_c=f32(limit_c),
         nq=int(m.nq),

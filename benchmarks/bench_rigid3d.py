@@ -29,11 +29,15 @@ from active_inference_diffusion_tpu.envs.jax_envs import (
 )
 
 ENVS = ("Ant3D-v0", "Humanoid3D-v0", "HumanoidStandup3D-v0",
-        "HopperPlanar-v0")
+        "HopperPlanar-v0", "Ant3DPixels-v0")
 
 
 def bench_env(name: str, num_envs: int, steps: int) -> dict:
     env = make_jax_env(name)
+    if hasattr(env, "obs_shape"):
+        # pixel rows: (T, N, 9, 84, 84) uint8 obs+next_obs at 1024x64 is
+        # ~8 GB — cap the materialized rollout
+        num_envs, steps = min(num_envs, 256), min(steps, 32)
 
     def random_policy(obs, key):
         return jax.random.uniform(
@@ -62,7 +66,8 @@ def bench_env(name: str, num_envs: int, steps: int) -> dict:
         "steps": steps,
         "compile_seconds": round(compile_s, 1),
         "env_steps_per_sec": round(total / best, 1),
-        "obs_dim": env.observation_dim,
+        "obs": (list(env.obs_shape) if hasattr(env, "obs_shape")
+                else [env.observation_dim]),
     }
 
 

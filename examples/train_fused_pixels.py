@@ -12,6 +12,10 @@ Usage:
 """
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 import time
 
 
@@ -23,7 +27,10 @@ def main():
                  # on-device rendered planar MuJoCo tasks (envs/planar.py
                  # physics + envs/pixel_render.make_planar_pixels raster)
                  "HopperPlanarPixels-v0", "Walker2dPlanarPixels-v0",
-                 "HalfCheetahPlanarPixels-v0"],
+                 "HalfCheetahPlanarPixels-v0",
+                 # on-device rendered 3D tasks (envs/rigid3d.py physics +
+                 # perspective tracking camera)
+                 "Ant3DPixels-v0", "Humanoid3DPixels-v0"],
     )
     parser.add_argument("--num-envs", type=int, default=32)
     parser.add_argument("--steps-per-iter", type=int, default=16)
@@ -64,11 +71,17 @@ def main():
         PendulumPixels,
         ReacherPixels,
         make_planar_pixels,
+        make_rigid3d_pixels,
     )
 
     if args.env.endswith("PlanarPixels-v0"):
         env = make_planar_pixels(
             args.env.replace("PlanarPixels-v0", "-v4"),
+            size=args.size, frame_stack=args.frame_stack,
+        )
+    elif args.env.endswith("3DPixels-v0"):
+        env = make_rigid3d_pixels(
+            args.env.replace("3DPixels-v0", "-v4"),
             size=args.size, frame_stack=args.frame_stack,
         )
     else:

@@ -344,6 +344,50 @@ def test_humanoid_env_stable_under_max_torque():
     assert bool(after.terminated)
 
 
+def test_rigid3d_pixels_render_and_rollout():
+    """On-device rendered 3D pixels: perspective tracking camera, uint8
+    stacked frames with body + checker floor visible, advancing with
+    physics (the planar rasterizer's 3D sibling)."""
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        fused_collect,
+        make_jax_env,
+    )
+    from active_inference_diffusion_tpu.envs.pixel_render import (
+        make_rigid3d_pixels,
+    )
+
+    env = make_rigid3d_pixels("Ant-v4", size=32, frame_stack=2)
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (6, 32, 32) and state.obs.dtype == jnp.uint8
+    f0 = np.asarray(state.obs[-3:])
+    # the ant + the checker floor give the frame real structure
+    assert float(f0.std()) > 10.0
+
+    step = jax.jit(env.step)
+    for i in range(6):
+        state = step(state, jnp.ones(env.action_dim) * (-1.0) ** i)
+    assert not np.array_equal(np.asarray(state.obs[-3:]), f0)
+    assert not np.array_equal(
+        np.asarray(state.obs[:3]), np.asarray(state.obs[-3:])
+    )
+
+    # registry name + fused rollout
+    env2 = make_jax_env("Ant3DPixels-v0")
+    assert env2.obs_shape == (9, 84, 84)
+
+    def random_policy(obs, key):
+        return jax.random.uniform(
+            key, (obs.shape[0], env.action_dim), minval=-1.0, maxval=1.0
+        )
+
+    transitions, _ = jax.jit(
+        lambda k: fused_collect(env, random_policy, k, 2, 4)
+    )(jax.random.PRNGKey(1))
+    assert transitions.observations.shape == (4, 2, 6, 32, 32)
+    assert transitions.observations.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(transitions.rewards)).all()
+
+
 def test_humanoid_standup_env_smoke():
     env = rigid3d.Rigid3DEnv("HumanoidStandup-v4")
     assert env.observation_dim == 376
