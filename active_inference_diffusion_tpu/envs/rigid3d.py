@@ -444,9 +444,23 @@ def bias_forces(
 ) -> jnp.ndarray:
     """Christoffel identity in the local chart (valid in any coordinate
     chart; u̇ = qvel at u = 0):
-    c_i = (∂M_ij/∂u_k − ½ ∂M_jk/∂u_i) v_j v_k + ∂V/∂u_i."""
+    c_i = (∂M_ij/∂u_k − ½ ∂M_jk/∂u_i) v_j v_k + ∂V/∂u_i.
+
+    Both contractions are single directional derivatives, so the full
+    (nv, nv, nv) ∂M/∂u tensor is never built:
+    - ∂M_ij/∂u_k v_j v_k = d/dε [M(εv) v]_i — ONE jvp of u ↦ M(u)v along v
+      (vs. jacfwd's nv forward passes of the whole mass matrix);
+    - ½ ∂M_jk/∂u_i v_j v_k = ∇_u [½ vᵀM(u)v]_i — one reverse pass of a
+      scalar. Values are identical (gated by the mj_rne tests); compile and
+      runtime shrink by ~nv on the humanoid's 23-dof chart."""
     zero = jnp.zeros((model.nv,), qpos.dtype)
-    dM = jax.jacfwd(lambda u: _mass_matrix_at(model, qpos, u))(zero)
+
+    _, mdot_v = jax.jvp(
+        lambda u: _mass_matrix_at(model, qpos, u) @ qvel, (zero,), (qvel,)
+    )
+    kinetic_grad = jax.grad(
+        lambda u: 0.5 * qvel @ _mass_matrix_at(model, qpos, u) @ qvel
+    )(zero)
 
     def potential(u):
         pos, rot = forward_kinematics(model, chart(model, qpos, u))
@@ -457,10 +471,7 @@ def bias_forces(
             model.mass.astype(u.dtype) * coms[:, 2]
         )
 
-    coriolis = jnp.einsum("ijk,j,k->i", dM, qvel, qvel) - 0.5 * jnp.einsum(
-        "jki,j,k->i", dM, qvel, qvel
-    )
-    return coriolis + jax.grad(potential)(zero)
+    return mdot_v - kinetic_grad + jax.grad(potential)(zero)
 
 
 def _contact_point_forces(
