@@ -102,6 +102,32 @@ def main():
                         help="imagined reward penalty w * member disagreement")
     parser.add_argument("--predict-continuation", action="store_true",
                         help="continuation head gates the imagined bootstrap")
+    # Model scale (the defaults are Pendulum-scale; Ant3D/Humanoid3D need
+    # bigger trunks) and the remaining Dreamer-stack knobs.
+    parser.add_argument("--latent-dim", type=int, default=16)
+    parser.add_argument("--hidden-dim", type=int, default=64)
+    parser.add_argument("--score-layers", type=int, default=2)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--efe-horizon", type=int, default=3)
+    parser.add_argument("--efe-trajectories", type=int, default=4)
+    parser.add_argument("--diffusion-steps", type=int, default=10)
+    parser.add_argument("--kl-weight", type=float, default=0.1)
+    parser.add_argument("--policy-lr-scale", type=float, default=1.0)
+    parser.add_argument("--imagined-reward-clip", type=float, default=0.0,
+                        help="clip |imagined reward| at w * running reward "
+                             "scale (0 = off)")
+    parser.add_argument("--policy-anchor-weight", type=float, default=0.0,
+                        help="KL(live || EMA-policy) drift anchor weight")
+    parser.add_argument("--config", default=None,
+                        help="YAML config (same schema as train.py). When "
+                             "given, it is the base for the agent config and "
+                             "agent-level flags above are IGNORED; loop-shape "
+                             "flags (--num-envs/--steps-per-iter/"
+                             "--updates-per-iter/--iterations/--eval-every/"
+                             "--warm-start-steps/--buffer-size) still apply.")
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="save an Orbax 'best' checkpoint whenever "
+                             "fused_eval improves (requires --eval-every)")
     args = parser.parse_args()
 
     import jax
@@ -131,38 +157,53 @@ def main():
     from active_inference_diffusion_tpu.utils.logger import Logger
 
     env = make_jax_env(args.env)
-    config = ActiveInferenceConfig(
-        observation_dim=env.observation_dim,
-        action_dim=env.action_dim,
-        latent_dim=16,
-        hidden_dim=64,
-        score_num_layers=2,
-        batch_size=128,
-        efe_horizon=3,
-        num_efe_trajectories=4,
-        learning_rate=args.learning_rate,
-        lambda_n_steps=args.lambda_n_steps,
-        ground_beliefs=args.ground_beliefs,
-        efe_value_weight=args.efe_value_weight,
-        imagined_value_targets=args.imagined_value_targets,
-        deterministic_beliefs=args.deterministic_beliefs,
-        pragmatic_weight=args.pragmatic_weight,
-        posterior_beliefs=args.posterior_beliefs,
-        act_from_posterior=args.act_from_posterior,
-        imagined_entropy_scale=args.entropy_scale,
-        imagine_deterministic=args.imagine_deterministic,
-        imagined_return_norm=not args.no_return_norm,
-        value_ema_regularizer=args.value_ema_reg,
-        auto_entropy=args.auto_entropy,
-        entropy_target=args.entropy_target,
-        imagined_reward_pessimism=args.reward_pessimism,
-        num_dynamics_ensemble=args.dynamics_ensemble,
-        ensemble_pessimism=args.ensemble_pessimism,
-        predict_continuation=args.predict_continuation,
-        diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
-    )
-    config.semantics.score_target_convention = args.score_target
-    training_config = TrainingConfig(buffer_size=args.buffer_size)
+    if args.config:
+        from active_inference_diffusion_tpu.configs.config import load_yaml_config
+
+        config, training_config, _ = load_yaml_config(args.config)
+        config.observation_dim = env.observation_dim
+        config.action_dim = env.action_dim
+        config.env_name = args.env
+    else:
+        config = ActiveInferenceConfig(
+            observation_dim=env.observation_dim,
+            action_dim=env.action_dim,
+            latent_dim=args.latent_dim,
+            hidden_dim=args.hidden_dim,
+            score_num_layers=args.score_layers,
+            batch_size=args.batch_size,
+            efe_horizon=args.efe_horizon,
+            num_efe_trajectories=args.efe_trajectories,
+            kl_weight=args.kl_weight,
+            learning_rate=args.learning_rate,
+            lambda_n_steps=args.lambda_n_steps,
+            ground_beliefs=args.ground_beliefs,
+            efe_value_weight=args.efe_value_weight,
+            imagined_value_targets=args.imagined_value_targets,
+            deterministic_beliefs=args.deterministic_beliefs,
+            pragmatic_weight=args.pragmatic_weight,
+            posterior_beliefs=args.posterior_beliefs,
+            act_from_posterior=args.act_from_posterior,
+            imagined_entropy_scale=args.entropy_scale,
+            imagine_deterministic=args.imagine_deterministic,
+            imagined_return_norm=not args.no_return_norm,
+            value_ema_regularizer=args.value_ema_reg,
+            auto_entropy=args.auto_entropy,
+            entropy_target=args.entropy_target,
+            imagined_reward_pessimism=args.reward_pessimism,
+            imagined_reward_clip=args.imagined_reward_clip,
+            policy_lr_scale=args.policy_lr_scale,
+            policy_anchor_weight=args.policy_anchor_weight,
+            num_dynamics_ensemble=args.dynamics_ensemble,
+            ensemble_pessimism=args.ensemble_pessimism,
+            predict_continuation=args.predict_continuation,
+            diffusion=DiffusionConfig(
+                num_diffusion_steps=args.diffusion_steps, beta_schedule="cosine"
+            ),
+        )
+        config.semantics.score_target_convention = args.score_target
+        training_config = TrainingConfig(buffer_size=args.buffer_size)
+    training_config.buffer_size = args.buffer_size
     agent = DiffusionStateAgent(
         env.observation_dim, env.action_dim, config, training_config
     )
@@ -236,6 +277,9 @@ def main():
         return replay, env_states, warm_state, mean_reward
 
     logger = Logger(use_wandb=False, experiment_name=f"fused_{args.env}")
+    best_eval = float("-inf")
+    if args.checkpoint_dir and not args.eval_every:
+        parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
     warm_state = ()
@@ -248,7 +292,7 @@ def main():
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
         replay, env_states, warm_state, mean_reward = collect_and_store(
-            state.params, replay, env_states, warm_state, ckey
+            agent._acting_params(state), replay, env_states, warm_state, ckey
         )
         total_steps += args.num_envs * args.steps_per_iter
 
@@ -274,8 +318,23 @@ def main():
         eval_str = ""
         if args.eval_every and (it % args.eval_every == 0 or it == args.iterations - 1):
             key, evkey = jax.random.split(key)
-            log["fused/eval_return"] = float(eval_return(state.params, evkey))
+            log["fused/eval_return"] = float(
+                eval_return(agent._acting_params(state), evkey)
+            )
             eval_str = f" eval_return={log['fused/eval_return']:.1f}"
+            if args.checkpoint_dir and log["fused/eval_return"] > best_eval:
+                best_eval = log["fused/eval_return"]
+                from active_inference_diffusion_tpu.utils.checkpoints import (
+                    save_checkpoint,
+                )
+
+                save_checkpoint(
+                    args.checkpoint_dir, state, step=total_steps,
+                    config=config, training_config=training_config,
+                    keep_latest_alias=False, name="best",
+                    extra_meta={"eval_return": best_eval, "env": args.env},
+                )
+                eval_str += " [best saved]"
         logger.log(log, total_steps)
         if it % 10 == 0 or it == args.iterations - 1 or eval_str:
             print(
