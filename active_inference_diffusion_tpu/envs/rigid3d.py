@@ -39,6 +39,7 @@ from .jax_envs import EnvState, JaxEnv
 from .mujoco_tasks import (
     MjPhysicsFields,
     TASK_SPECS,
+    observation_dim,
     reset_qpos_qvel,
     task_observation,
     task_reward,
@@ -833,20 +834,8 @@ class Rigid3DEnv(JaxEnv):
         self.model = extract_rigid3d_model(env_name, **penalty_overrides)
         self.nq, self.nv = self.model.nq, self.model.nv
         self.nbody = len(self.model.parent)
-        # shape-only trace: the humanoid's 376-dim observation goes through
-        # second-order-AD c-frame fields — evaluating it eagerly on the host
-        # just to learn its length takes minutes; eval_shape is instant.
-        self.observation_dim = int(
-            jax.eval_shape(
-                lambda qpos, qvel, ctrl: task_observation(
-                    self.spec, self._fields(qpos, qvel, ctrl)
-                ),
-                jax.ShapeDtypeStruct((self.model.nq,), jnp.float32),
-                jax.ShapeDtypeStruct((self.model.nv,), jnp.float32),
-                jax.ShapeDtypeStruct(
-                    (int(self.model.act_dof.shape[0]),), jnp.float32
-                ),
-            ).shape[0]
+        self.observation_dim = observation_dim(
+            self.spec, self.model.nq, self.model.nv, self.nbody
         )
         self.action_dim = int(self.model.act_dof.shape[0])
         self.action_low = self.model.ctrlrange[:, 0]

@@ -23,7 +23,9 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--env", default="Pendulum-v1",
+    parser.add_argument("--env", default=None,
+                        help="defaults to the YAML's env_name with --config, "
+                             "else Pendulum-v1 (same precedence as cli.py)",
                         choices=["Pendulum-v1", "PointMass2D-v0", "Reacher2Link-v0",
                                  # MJX MuJoCo tasks (exact Gymnasium -v4
                                  # semantics, envs/mujoco_tasks.py); need the
@@ -70,7 +72,9 @@ def main():
                         help="run each iteration's updates as ONE jitted "
                              "lax.scan (agent.train_epoch) — essential "
                              "through a remote chip")
-    parser.add_argument("--buffer-size", type=int, default=50_000)
+    parser.add_argument("--buffer-size", type=int, default=None,
+                        help="replay capacity (default: the YAML's "
+                             "training.buffer_size with --config, else 50k)")
     parser.add_argument("--score-target", default=None,
                         choices=["reference", "standard"],
                         help="score-matching target convention "
@@ -129,6 +133,8 @@ def main():
                         help="save an Orbax 'best' checkpoint whenever "
                              "fused_eval improves (requires --eval-every)")
     args = parser.parse_args()
+    if args.checkpoint_dir and not args.eval_every:
+        parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
 
     import jax
     import jax.numpy as jnp
@@ -156,16 +162,22 @@ def main():
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
 
-    env = make_jax_env(args.env)
     if args.config:
         from active_inference_diffusion_tpu.configs.config import load_yaml_config
 
         config, training_config, _ = load_yaml_config(args.config)
+        # Same precedence as cli.py:85-87: an explicit --env wins, else the
+        # YAML's env_name (ant3d_fused.yaml names its own env).
+        env_name = args.env or config.env_name
+        env = make_jax_env(env_name)
         config.observation_dim = env.observation_dim
         config.action_dim = env.action_dim
-        config.env_name = args.env
+        config.env_name = env_name
     else:
+        env_name = args.env or "Pendulum-v1"
+        env = make_jax_env(env_name)
         config = ActiveInferenceConfig(
+            env_name=env_name,
             observation_dim=env.observation_dim,
             action_dim=env.action_dim,
             latent_dim=args.latent_dim,
@@ -202,8 +214,9 @@ def main():
             ),
         )
         config.semantics.score_target_convention = args.score_target
-        training_config = TrainingConfig(buffer_size=args.buffer_size)
-    training_config.buffer_size = args.buffer_size
+        training_config = TrainingConfig(buffer_size=50_000)
+    if args.buffer_size is not None:
+        training_config.buffer_size = args.buffer_size
     agent = DiffusionStateAgent(
         env.observation_dim, env.action_dim, config, training_config
     )
@@ -276,10 +289,8 @@ def main():
         mean_reward = jnp.mean(flat.rewards)
         return replay, env_states, warm_state, mean_reward
 
-    logger = Logger(use_wandb=False, experiment_name=f"fused_{args.env}")
+    logger = Logger(use_wandb=False, experiment_name=f"fused_{env_name}")
     best_eval = float("-inf")
-    if args.checkpoint_dir and not args.eval_every:
-        parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
     warm_state = ()
@@ -332,7 +343,7 @@ def main():
                     args.checkpoint_dir, state, step=total_steps,
                     config=config, training_config=training_config,
                     keep_latest_alias=False, name="best",
-                    extra_meta={"eval_return": best_eval, "env": args.env},
+                    extra_meta={"eval_return": best_eval, "env": env_name},
                 )
                 eval_str += " [best saved]"
         logger.log(log, total_steps)
