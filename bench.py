@@ -506,6 +506,62 @@ def main():
     except Exception as e:
         log(f"fused planar hopper bench skipped: {type(e).__name__}: {e}")
 
+    # ================= fused on-device 3D (Ant) collection =============
+    # Ant-v4-class 3D physics from the from-scratch rigid-body engine
+    # (envs/rigid3d.py: free joint + hinges, constraint-based joint limits)
+    # + diffusion-belief policy, fully fused. 16-step chunks keep each
+    # dispatch under the axon kill bound.
+    try:
+        from active_inference_diffusion_tpu.envs.jax_envs import (
+            flatten_transitions as _aflatten,
+            fused_collect as _afused_collect,
+            make_jax_env as _amk,
+            make_rollout_policy as _amkrp,
+        )
+
+        aenv = _amk("Ant3D-v0")
+        aconfig = ActiveInferenceConfig(
+            observation_dim=aenv.observation_dim,
+            action_dim=aenv.action_dim,
+            latent_dim=16, hidden_dim=64, score_num_layers=2,
+            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+        )
+        aconfig.tpu.donate_buffers = False
+        aagent = DiffusionStateAgent(
+            aenv.observation_dim, aenv.action_dim, aconfig, TrainingConfig()
+        )
+        aparams = aagent.core.init_params(jax.random.PRNGKey(15))
+        ap = _amkrp(aagent.core, aenv)
+        an_envs, an_steps = 256, 16
+        areps = 3
+
+        @jax.jit
+        def ant_collect(key, env_states):
+            t, s = _afused_collect(
+                aenv, lambda obs, k: ap(aparams, obs, k), key,
+                an_envs, an_steps, env_states=env_states,
+            )
+            return _aflatten(t).rewards, s
+
+        akey = jax.random.PRNGKey(16)
+        arew, astates = ant_collect(akey, None)
+        arew.block_until_ready()
+        assert bool(jnp.isfinite(arew).all()), "ant3d non-finite"
+        t0 = time.perf_counter()
+        for _ in range(areps):
+            akey, sub = jax.random.split(akey)
+            arew, astates = ant_collect(sub, astates)
+        arew.block_until_ready()
+        ant_sps = areps * an_envs * an_steps / (time.perf_counter() - t0)
+        log(
+            f"fused 3D-Ant collect: {ant_sps:,.0f} env steps/s "
+            f"({an_envs} envs, RK4 3D physics x frame_skip 5 + K=10 belief "
+            "sweep per control step, 1 chip)"
+        )
+        detail["fused_ant3d_env_steps_per_sec"] = round(ant_sps)
+    except Exception as e:
+        log(f"fused 3D ant bench skipped: {type(e).__name__}: {e}")
+
     # ================= fused on-device PIXEL collection ================
     # The observation is rasterized inside the jitted rollout
     # (envs/pixel_render.py): 84x84x3 uint8, frame-stack 3, conv-encoded
