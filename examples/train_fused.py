@@ -21,6 +21,77 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+def build_run_config(args):
+    """Assemble (env, env_name, config, training_config) from parsed args.
+
+    Precedence (tested in tests/test_train_fused_config.py): with --config
+    the YAML is the base — an explicit --env wins over its env_name, the
+    agent-level flags are ignored; without it the flags build the config.
+    --buffer-size overrides in both modes only when explicitly passed."""
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        TrainingConfig,
+        load_yaml_config,
+    )
+    from active_inference_diffusion_tpu.envs.jax_envs import make_jax_env
+
+    if args.config:
+        config, training_config, _ = load_yaml_config(args.config)
+        # Same precedence as cli.py:85-87: an explicit --env wins, else the
+        # YAML's env_name (ant3d_fused.yaml names its own env).
+        env_name = args.env or config.env_name
+        env = make_jax_env(env_name)
+        config.observation_dim = env.observation_dim
+        config.action_dim = env.action_dim
+        config.env_name = env_name
+    else:
+        env_name = args.env or "Pendulum-v1"
+        env = make_jax_env(env_name)
+        config = ActiveInferenceConfig(
+            env_name=env_name,
+            observation_dim=env.observation_dim,
+            action_dim=env.action_dim,
+            latent_dim=args.latent_dim,
+            hidden_dim=args.hidden_dim,
+            score_num_layers=args.score_layers,
+            batch_size=args.batch_size,
+            efe_horizon=args.efe_horizon,
+            num_efe_trajectories=args.efe_trajectories,
+            kl_weight=args.kl_weight,
+            learning_rate=args.learning_rate,
+            lambda_n_steps=args.lambda_n_steps,
+            ground_beliefs=args.ground_beliefs,
+            efe_value_weight=args.efe_value_weight,
+            imagined_value_targets=args.imagined_value_targets,
+            deterministic_beliefs=args.deterministic_beliefs,
+            pragmatic_weight=args.pragmatic_weight,
+            posterior_beliefs=args.posterior_beliefs,
+            act_from_posterior=args.act_from_posterior,
+            imagined_entropy_scale=args.entropy_scale,
+            imagine_deterministic=args.imagine_deterministic,
+            imagined_return_norm=not args.no_return_norm,
+            value_ema_regularizer=args.value_ema_reg,
+            auto_entropy=args.auto_entropy,
+            entropy_target=args.entropy_target,
+            imagined_reward_pessimism=args.reward_pessimism,
+            imagined_reward_clip=args.imagined_reward_clip,
+            policy_lr_scale=args.policy_lr_scale,
+            policy_anchor_weight=args.policy_anchor_weight,
+            num_dynamics_ensemble=args.dynamics_ensemble,
+            ensemble_pessimism=args.ensemble_pessimism,
+            predict_continuation=args.predict_continuation,
+            diffusion=DiffusionConfig(
+                num_diffusion_steps=args.diffusion_steps, beta_schedule="cosine"
+            ),
+        )
+        config.semantics.score_target_convention = args.score_target
+        training_config = TrainingConfig(buffer_size=50_000)
+    if args.buffer_size is not None:
+        training_config.buffer_size = args.buffer_size
+    return env, env_name, config, training_config
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default=None,
@@ -162,61 +233,7 @@ def main():
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
 
-    if args.config:
-        from active_inference_diffusion_tpu.configs.config import load_yaml_config
-
-        config, training_config, _ = load_yaml_config(args.config)
-        # Same precedence as cli.py:85-87: an explicit --env wins, else the
-        # YAML's env_name (ant3d_fused.yaml names its own env).
-        env_name = args.env or config.env_name
-        env = make_jax_env(env_name)
-        config.observation_dim = env.observation_dim
-        config.action_dim = env.action_dim
-        config.env_name = env_name
-    else:
-        env_name = args.env or "Pendulum-v1"
-        env = make_jax_env(env_name)
-        config = ActiveInferenceConfig(
-            env_name=env_name,
-            observation_dim=env.observation_dim,
-            action_dim=env.action_dim,
-            latent_dim=args.latent_dim,
-            hidden_dim=args.hidden_dim,
-            score_num_layers=args.score_layers,
-            batch_size=args.batch_size,
-            efe_horizon=args.efe_horizon,
-            num_efe_trajectories=args.efe_trajectories,
-            kl_weight=args.kl_weight,
-            learning_rate=args.learning_rate,
-            lambda_n_steps=args.lambda_n_steps,
-            ground_beliefs=args.ground_beliefs,
-            efe_value_weight=args.efe_value_weight,
-            imagined_value_targets=args.imagined_value_targets,
-            deterministic_beliefs=args.deterministic_beliefs,
-            pragmatic_weight=args.pragmatic_weight,
-            posterior_beliefs=args.posterior_beliefs,
-            act_from_posterior=args.act_from_posterior,
-            imagined_entropy_scale=args.entropy_scale,
-            imagine_deterministic=args.imagine_deterministic,
-            imagined_return_norm=not args.no_return_norm,
-            value_ema_regularizer=args.value_ema_reg,
-            auto_entropy=args.auto_entropy,
-            entropy_target=args.entropy_target,
-            imagined_reward_pessimism=args.reward_pessimism,
-            imagined_reward_clip=args.imagined_reward_clip,
-            policy_lr_scale=args.policy_lr_scale,
-            policy_anchor_weight=args.policy_anchor_weight,
-            num_dynamics_ensemble=args.dynamics_ensemble,
-            ensemble_pessimism=args.ensemble_pessimism,
-            predict_continuation=args.predict_continuation,
-            diffusion=DiffusionConfig(
-                num_diffusion_steps=args.diffusion_steps, beta_schedule="cosine"
-            ),
-        )
-        config.semantics.score_target_convention = args.score_target
-        training_config = TrainingConfig(buffer_size=50_000)
-    if args.buffer_size is not None:
-        training_config.buffer_size = args.buffer_size
+    env, env_name, config, training_config = build_run_config(args)
     agent = DiffusionStateAgent(
         env.observation_dim, env.action_dim, config, training_config
     )
