@@ -46,7 +46,13 @@ def main():
     parser.add_argument("--size", type=int, default=84, help="render resolution")
     parser.add_argument("--frame-stack", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="save an Orbax 'best' checkpoint whenever "
+                             "fused_eval improves (requires --eval-every)")
     args = parser.parse_args()
+    if args.checkpoint_dir and not args.eval_every:
+        parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
+    best_eval = float("-inf")
 
     import jax
     import jax.numpy as jnp
@@ -207,6 +213,19 @@ def main():
             ret = float(eval_return(state.params, evkey))
             logger.log({"eval/episode_reward_mean": ret}, total_steps)
             eval_str = f" eval={ret:.1f}"
+            if args.checkpoint_dir and ret > best_eval:
+                best_eval = ret
+                from active_inference_diffusion_tpu.utils.checkpoints import (
+                    save_checkpoint,
+                )
+
+                save_checkpoint(
+                    args.checkpoint_dir, state, step=total_steps,
+                    config=config, training_config=training_config,
+                    keep_latest_alias=False, name="best",
+                    extra_meta={"eval_return": best_eval, "env": args.env},
+                )
+                eval_str += " [best saved]"
 
         if it % 5 == 0 or it == args.iterations - 1 or eval_str:
             print(
