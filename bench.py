@@ -21,7 +21,12 @@ host has no GPU, so the baseline is torch-on-CPU; a GPU reference would cut
 the multiplier by roughly an order of magnitude. The reference publishes no
 numbers of its own — see BASELINE.md.
 
-Secondary sections (all stderr + ``detail``):
+The contract line prints IMMEDIATELY after the flagship section (the driver
+runs this under a hard timeout; round 2 lost its artifact by emitting last).
+Optional sections run afterwards, time-gated against BENCH_DEADLINE_SECS
+(default 1020 s from process start), accumulating into ``bench_detail.json``.
+
+Secondary sections (all stderr + ``bench_detail.json``):
 - Pallas fused-sweep A/B at the flagship config.
 - Scale section at the humanoid_state.yaml config (latent 64, hidden 256,
   K=50): XLA f32 vs bf16-matmul vs Pallas-fused sweep, train-step ms with
@@ -33,12 +38,27 @@ Secondary sections (all stderr + ``detail``):
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 from pathlib import Path
 
 BASELINE_FILE = Path(__file__).parent / "benchmarks" / "baseline_results.json"
+DETAIL_FILE = Path(__file__).parent / "bench_detail.json"
+
+# Self-deadline (seconds from process start). The driver runs bench.py under
+# its own timeout (observed ~20 min in round 2: rc 124, JSON never printed
+# because it only emitted at the very end after every optional section). The
+# contract line is now printed IMMEDIATELY after the flagship section; the
+# deadline only (a) bounds the relay-recovery wait and (b) gates the optional
+# sections so the process exits 0 before the driver kills it.
+T_START = time.time()
+DEADLINE = T_START + float(os.environ.get("BENCH_DEADLINE_SECS", "1020"))
+
+
+def remaining() -> float:
+    return DEADLINE - time.time()
 
 BATCH = 256
 LATENT_DIM = 32
@@ -193,37 +213,96 @@ def main():
                 sweeps_per_sec = p_sps
                 denoiser_steps_per_sec = p_sps * NUM_STEPS
 
-    # --- flagship train-step (secondary) -------------------------------
-    state = agent.init_train_state(jax.random.PRNGKey(3))
-    keys = jax.random.split(jax.random.PRNGKey(4), 5)
-    batch = {
-        "observations": jax.random.normal(keys[0], (BATCH, 17)),
-        "actions": jax.random.normal(keys[1], (BATCH, 6)),
-        "rewards": jax.random.normal(keys[2], (BATCH,)),
-        "next_observations": jax.random.normal(keys[3], (BATCH, 17)),
-        "dones": jax.random.bernoulli(keys[4], 0.05, (BATCH,)),
-    }
-    t0 = time.perf_counter()
-    state, first_metrics = agent.train_step(state, batch)
-    jax.block_until_ready(state.params)
-    ts_compile = time.perf_counter() - t0
-    bad = [k for k, v in first_metrics.items() if not bool(jnp.isfinite(v))]
-    if bad:
-        raise RuntimeError(f"train_step produced non-finite metrics: {bad}")
-    n_train = 10
-    t0 = time.perf_counter()
-    for _ in range(n_train):
-        state, metrics = agent.train_step(state, batch)
-    jax.block_until_ready(state.params)
-    ts_ms = 1e3 * (time.perf_counter() - t0) / n_train
+    # --- EMIT THE CONTRACT LINE NOW ------------------------------------
+    # Everything below is optional depth (train step, humanoid scale, fused
+    # collects). Printing the one JSON line here guarantees the driver gets
+    # a parsed result even if its timeout kills the rest (round-2 lesson:
+    # BENCH_r02.json rc=124, parsed=null because the line only printed after
+    # every section). Extended detail keeps accumulating in bench_detail.json.
+    baseline = get_baseline()
+    vs = denoiser_steps_per_sec / baseline["denoiser_steps_per_sec"]
     log(
-        f"flagship train_step: {ts_ms:.2f} ms -> {1e3 / ts_ms:.2f} updates/s "
-        f"(batch {BATCH}, compile {ts_compile:.1f}s)"
+        f"baseline ({baseline['framework']} on {baseline['device']}): "
+        f"{baseline['denoiser_steps_per_sec']:.1f} denoiser steps/s -> {vs:.1f}x"
     )
-    detail["flagship_train_step"] = {
-        "ms": round(ts_ms, 2),
-        "compile_seconds": round(ts_compile, 1),
-    }
+    detail["baseline_note"] = (
+        f"baseline is the reference ({baseline['framework']}) on "
+        f"{baseline['device']} — this host has no GPU; a CUDA reference "
+        "would cut vs_baseline by roughly an order of magnitude"
+    )
+    detail["detail_file"] = (
+        "bench_detail.json carries the optional sections (train step, "
+        "humanoid scale, fused collects) measured after this line printed"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "denoiser_steps_per_sec",
+                "value": round(denoiser_steps_per_sec, 2),
+                "unit": f"score-net steps/s steady-state (batch {BATCH}, "
+                f"K={NUM_STEPS}, latent {LATENT_DIM}, hidden {HIDDEN_DIM})",
+                "vs_baseline": round(vs, 2),
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+    def dump_detail():
+        try:
+            DETAIL_FILE.write_text(json.dumps(detail, indent=1) + "\n")
+        except Exception:
+            pass
+
+    dump_detail()
+
+    def section_budget(name: str, est: float) -> bool:
+        """True when `est` seconds of work still fit before the deadline."""
+        if remaining() > est:
+            return True
+        log(f"{name} skipped: {remaining():.0f}s left < ~{est:.0f}s needed "
+            "(headline JSON already emitted)")
+        return False
+
+    # --- flagship train-step (secondary) -------------------------------
+    try:
+        if not section_budget("flagship train_step", 120):
+            raise TimeoutError
+        state = agent.init_train_state(jax.random.PRNGKey(3))
+        keys = jax.random.split(jax.random.PRNGKey(4), 5)
+        batch = {
+            "observations": jax.random.normal(keys[0], (BATCH, 17)),
+            "actions": jax.random.normal(keys[1], (BATCH, 6)),
+            "rewards": jax.random.normal(keys[2], (BATCH,)),
+            "next_observations": jax.random.normal(keys[3], (BATCH, 17)),
+            "dones": jax.random.bernoulli(keys[4], 0.05, (BATCH,)),
+        }
+        t0 = time.perf_counter()
+        state, first_metrics = agent.train_step(state, batch)
+        jax.block_until_ready(state.params)
+        ts_compile = time.perf_counter() - t0
+        bad = [k for k, v in first_metrics.items() if not bool(jnp.isfinite(v))]
+        if bad:
+            raise RuntimeError(f"train_step produced non-finite metrics: {bad}")
+        n_train = 10
+        t0 = time.perf_counter()
+        for _ in range(n_train):
+            state, metrics = agent.train_step(state, batch)
+        jax.block_until_ready(state.params)
+        ts_ms = 1e3 * (time.perf_counter() - t0) / n_train
+        log(
+            f"flagship train_step: {ts_ms:.2f} ms -> {1e3 / ts_ms:.2f} updates/s "
+            f"(batch {BATCH}, compile {ts_compile:.1f}s)"
+        )
+        detail["flagship_train_step"] = {
+            "ms": round(ts_ms, 2),
+            "compile_seconds": round(ts_compile, 1),
+        }
+        dump_detail()
+    except TimeoutError:
+        pass
+    except Exception as e:
+        log(f"flagship train_step skipped: {type(e).__name__}: {e}")
 
     # ================= scale section: humanoid config ==================
     # humanoid_state.yaml scale (latent 64, hidden 256, K=50): the config
@@ -233,6 +312,8 @@ def main():
     try:
         if not run_scale:
             raise RuntimeError("scale section is TPU-only (BENCH_SCALE=1 forces)")
+        if not section_budget("humanoid-scale section", 300):
+            raise RuntimeError("deadline")
         h_agent = make_agent(64, 256, 50, obs_dim=376, act_dim=17)
         h_params = h_agent.core.init_params(jax.random.PRNGKey(10))
         h_obs = jax.random.normal(jax.random.PRNGKey(11), (BATCH, 376))
@@ -311,6 +392,8 @@ def main():
             h_agent.config.tpu.compute_dtype = "float32"
 
         # train step at scale, with and without remat
+        if not section_budget("humanoid-scale train_step rows", 180):
+            raise StopIteration  # keep the sweep rows already in `sc`
         h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
         hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
         h_batch = {
@@ -342,6 +425,10 @@ def main():
                 log(f"{label}: failed ({type(e).__name__}: {e})")
         h_agent.config.tpu.remat_score_network = False
         detail["humanoid_scale"] = sc
+        dump_detail()
+    except StopIteration:
+        detail["humanoid_scale"] = sc  # keep the sweep rows measured so far
+        dump_detail()
     except Exception as e:
         log(f"humanoid-scale section skipped: {type(e).__name__}: {e}")
 
@@ -350,6 +437,8 @@ def main():
     # the rollout (the reference's process collectors top out at O(10^2)
     # steps/s; see SURVEY.md section 2.6).
     try:
+        if not section_budget("fused collect section", 200):
+            raise TimeoutError("deadline")
         from active_inference_diffusion_tpu.envs.jax_envs import (
             flatten_transitions,
             fused_collect,
@@ -449,6 +538,7 @@ def main():
             f"{warm_sps / fused_sps:.2f}x the full-sweep rate)"
         )
         detail["fused_collect_warm_env_steps_per_sec"] = round(warm_sps)
+        dump_detail()
     except Exception as e:
         log(f"fused collect bench skipped: {type(e).__name__}: {e}")
 
@@ -458,6 +548,8 @@ def main():
     # contacts) + diffusion-belief policy, fully fused on the chip. The
     # reference's host MuJoCo collectors top out at O(10^2) env steps/s.
     try:
+        if not section_budget("fused planar hopper section", 150):
+            raise TimeoutError("deadline")
         from active_inference_diffusion_tpu.envs.jax_envs import (
             flatten_transitions as _flatten,
             make_jax_env as _mk,
@@ -503,6 +595,7 @@ def main():
             "sweep per control step, 1 chip)"
         )
         detail["fused_hopper_planar_env_steps_per_sec"] = round(hopper_sps)
+        dump_detail()
     except Exception as e:
         log(f"fused planar hopper bench skipped: {type(e).__name__}: {e}")
 
@@ -512,6 +605,8 @@ def main():
     # + diffusion-belief policy, fully fused. 16-step chunks keep each
     # dispatch under the axon kill bound.
     try:
+        if not section_budget("fused 3D ant section", 150):
+            raise TimeoutError("deadline")
         from active_inference_diffusion_tpu.envs.jax_envs import (
             flatten_transitions as _aflatten,
             fused_collect as _afused_collect,
@@ -559,6 +654,7 @@ def main():
             "sweep per control step, 1 chip)"
         )
         detail["fused_ant3d_env_steps_per_sec"] = round(ant_sps)
+        dump_detail()
     except Exception as e:
         log(f"fused 3D ant bench skipped: {type(e).__name__}: {e}")
 
@@ -569,6 +665,8 @@ def main():
     # (MuJoCo + PIL per step, reference envs/pixel_wrappers.py:101-204)
     # and tops out at O(10) env steps/s on this host.
     try:
+        if not section_budget("fused pixel section", 240):
+            raise TimeoutError("deadline")
         from active_inference_diffusion_tpu.agents.pixel_agent import (
             DiffusionPixelAgent,
         )
@@ -640,32 +738,16 @@ def main():
             f"reference host render is O(10)/s)"
         )
         detail["fused_pixel_collect_env_steps_per_sec"] = round(pixel_sps)
+        dump_detail()
     except Exception as e:
         log(f"fused pixel collect bench skipped: {type(e).__name__}: {e}")
 
-    # --- result --------------------------------------------------------
-    baseline = get_baseline()
-    vs = denoiser_steps_per_sec / baseline["denoiser_steps_per_sec"]
+    # --- done ----------------------------------------------------------
+    dump_detail()
     log(
-        f"baseline ({baseline['framework']} on {baseline['device']}): "
-        f"{baseline['denoiser_steps_per_sec']:.1f} denoiser steps/s -> {vs:.1f}x"
-    )
-    detail["baseline_note"] = (
-        f"baseline is the reference ({baseline['framework']}) on "
-        f"{baseline['device']} — this host has no GPU; a CUDA reference "
-        "would cut vs_baseline by roughly an order of magnitude"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "denoiser_steps_per_sec",
-                "value": round(denoiser_steps_per_sec, 2),
-                "unit": f"score-net steps/s steady-state (batch {BATCH}, "
-                f"K={NUM_STEPS}, latent {LATENT_DIM}, hidden {HIDDEN_DIM})",
-                "vs_baseline": round(vs, 2),
-                "detail": detail,
-            }
-        )
+        f"bench complete in {time.time() - T_START:.0f}s "
+        f"({remaining():.0f}s of deadline unspent); full detail in "
+        f"{DETAIL_FILE.name}"
     )
 
 
@@ -720,8 +802,15 @@ if __name__ == "__main__":
         # .claude/skills/verify/SKILL.md); without this guard the whole
         # bench would hang forever on its first device call. Wait for
         # recovery for up to BENCH_TPU_WAIT_SECS, then emit an honest
-        # failure JSON instead of no artifact at all.
-        deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_SECS", 3600))
+        # failure JSON instead of no artifact at all. Capped so that if the
+        # relay DOES recover there is still time for the flagship cold
+        # compile (up to ~6 min through the tunnel) before the self-deadline,
+        # and if it never recovers the failure JSON prints before the
+        # driver's own timeout kills us (round-2 lesson).
+        deadline = min(
+            time.time() + float(os.environ.get("BENCH_TPU_WAIT_SECS", 3600)),
+            DEADLINE - 420,
+        )
         # Yield to a running training job first (one TPU client at a time):
         # probing while it runs — let alone benching — can wedge the tunnel
         # for both. Bounded by the same deadline.
