@@ -755,21 +755,32 @@ def other_tpu_job_running() -> bool:
     """True when a training job of this repo is running (it owns the TPU —
     only ONE client may talk through the axon tunnel at a time; a second
     client wedges both). Scans /proc cmdlines directly: pgrep -f can match
-    this process's own parent shell."""
+    this process's own parent shell.
+
+    Matching is on EXACT argv fields (argv[0] a python, some argv[i] ending
+    with a train-script name), never substrings of the joined cmdline — a
+    shell whose -c blob merely *mentions* train_fused.py (e.g. the harness
+    shell that wrote a queue script via heredoc) must not read as a running
+    job. Observed 2026-08-19: the substring version deadlocked bench behind
+    its own launcher."""
     import os
 
     me = os.getpid()
+    train_scripts = (
+        "train.py", "train_fused.py", "train_fused_pixels.py",
+        "train_multichip.py",
+    )
     for pid in os.listdir("/proc"):
         if not pid.isdigit() or int(pid) == me:
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read().decode(errors="replace").replace("\x00", " ")
+                argv = f.read().decode(errors="replace").split("\x00")
         except OSError:
             continue
-        if "python" not in cmd:
+        if not argv or "python" not in os.path.basename(argv[0]):
             continue
-        if "train.py" in cmd or "train_fused" in cmd or "train_multichip" in cmd:
+        if any(a.endswith(train_scripts) for a in argv[1:]):
             return True
     return False
 
