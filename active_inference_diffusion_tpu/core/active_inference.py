@@ -526,11 +526,21 @@ class DiffusionActiveInference:
             )
 
         latent_mean = jnp.mean(latent, axis=0)
-        # batch_size is a static Python int: branch in Python. (A traced
-        # jnp.where would still EVALUATE std(ddof=1) at batch 1 — a 0/0 NaN
-        # whose zero cotangent turns into NaN gradients through the
-        # differentiable-sweep path.)
-        if batch_size > 1:
+        # batch_size is normally a static Python int: branch in Python. (A
+        # traced jnp.where would still EVALUATE std(ddof=1) at batch 1 — a
+        # 0/0 NaN whose zero cotangent turns into NaN gradients through the
+        # differentiable-sweep path.) Under jax.export shape polymorphism
+        # (utils/serving.py) it is a symbolic dimension where `> 1` is
+        # inconclusive; there the denominator is clamped instead, which is
+        # exact for every batch the artifact can serve (ddof=1 for b>1,
+        # std 0 for b==1) — fine for the no-gradient serving path.
+        if not isinstance(batch_size, int):
+            centered = latent - latent_mean[None]
+            denom = jnp.maximum(
+                jnp.asarray(batch_size - 1, latent.dtype), 1.0
+            )
+            latent_std = jnp.sqrt(jnp.sum(centered * centered, axis=0) / denom)
+        elif batch_size > 1:
             latent_std = jnp.std(latent, axis=0, ddof=1)
         else:
             latent_std = jnp.zeros_like(latent_mean)
