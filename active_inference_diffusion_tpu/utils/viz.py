@@ -142,3 +142,94 @@ def plot_belief_evolution(
         plt.close(fig)
         return save_path
     return fig
+
+
+# ---------------------------------------------------------------------------
+# Eval video for fused (JAX-native) envs
+# ---------------------------------------------------------------------------
+
+def _fused_pixel_renderer(env_name: str, size: int):
+    """A single-frame on-device rasterizer matching a fused STATE env.
+
+    The pixel mixins subclass their state env and add no state fields, so
+    ``pixel_env._render_state`` renders the state env's own ``EnvState``
+    directly (envs/pixel_render.py)."""
+    from ..envs import pixel_render as pr
+
+    if env_name.endswith("Planar-v0"):
+        return pr.make_planar_pixels(
+            env_name.replace("Planar-v0", "-v4"), size=size, frame_stack=1
+        )
+    if env_name.endswith("3D-v0"):
+        return pr.make_rigid3d_pixels(
+            env_name.replace("3D-v0", "-v4"), size=size, frame_stack=1
+        )
+    if env_name.startswith("Pendulum"):
+        return pr.PendulumPixels(size=size, frame_stack=1)
+    if env_name.startswith("Reacher"):
+        return pr.ReacherPixels(size=size, frame_stack=1)
+    raise ValueError(f"no on-device renderer for fused env {env_name!r}")
+
+
+def render_fused_episode(
+    env_name: str,
+    policy_fn,
+    key: jax.Array,
+    size: int = 168,
+    max_steps: Optional[int] = None,
+):
+    """Roll ONE episode of a fused JAX env and rasterize every step on
+    device (counterpart of the reference's host ``RecordVideo`` eval videos,
+    reference utils/training.py:178-245 — which need a host MuJoCo renderer;
+    here the whole episode AND its frames are one XLA program + one vmapped
+    render).
+
+    ``policy_fn(obs, key) -> action`` should be deterministic for eval
+    semantics (e.g. ``make_rollout_policy(core, env, deterministic=True)``
+    closed over params). Returns ``(frames, episode_return, length)`` with
+    ``frames`` a host ``(length, H, W, 3) uint8`` array.
+    """
+    from ..envs.jax_envs import make_jax_env
+
+    env = make_jax_env(env_name)
+    renderer = _fused_pixel_renderer(env_name, size)
+    num_steps = env.max_episode_steps if max_steps is None else max_steps
+
+    def body(carry, step_key):
+        state, ret, alive = carry
+        action = policy_fn(state.obs[None], step_key)[0]
+        nxt = env.step(state, action)
+        ret = ret + alive * nxt.reward
+        alive = alive * (1.0 - nxt.done.astype(ret.dtype))
+        return (nxt, ret, alive), (nxt, alive)
+
+    @jax.jit
+    def roll(key):
+        reset_key, scan_key = jax.random.split(key)
+        state0 = env.reset(reset_key)
+        (_, ret, _), (states, alives) = jax.lax.scan(
+            body, (state0, jnp.zeros(()), jnp.ones(())),
+            jax.random.split(scan_key, num_steps),
+        )
+        frames = jax.vmap(renderer._render_state)(states)  # (T, 3, H, W)
+        first = renderer._render_state(state0)
+        frames = jnp.concatenate([first[None], frames], axis=0)
+        return frames, ret, alives
+
+    frames, ret, alives = roll(key)
+    # steps-before-terminal + initial frame + terminal-state frame
+    length = min(int(np.asarray(alives).sum()) + 2, int(frames.shape[0]))
+    frames = np.moveaxis(np.asarray(frames[:length]), 1, -1)  # (T, H, W, 3)
+    return frames, float(ret), length
+
+
+def save_gif(frames: np.ndarray, path: str, fps: int = 25) -> str:
+    """Write (T, H, W, 3) uint8 frames as an animated GIF (Pillow)."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in np.asarray(frames, np.uint8)]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=max(1, int(1000 / fps)), loop=0,
+    )
+    return path

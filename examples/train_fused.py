@@ -203,6 +203,12 @@ def main():
     parser.add_argument("--checkpoint-dir", default=None,
                         help="save an Orbax 'best' checkpoint whenever "
                              "fused_eval improves (requires --eval-every)")
+    parser.add_argument("--resume", default=None,
+                        help="Orbax checkpoint (dir, or dir/best) to restore "
+                             "the train state from before training; best_eval "
+                             "and the step counter continue from the "
+                             "checkpoint meta. The replay buffer starts fresh "
+                             "— the fused collector refills it in seconds.")
     args = parser.parse_args()
     if args.checkpoint_dir and not args.eval_every:
         parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
@@ -238,6 +244,16 @@ def main():
         env.observation_dim, env.action_dim, config, training_config
     )
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
+    resume_meta = {}
+    if args.resume:
+        from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
+
+        state, resume_meta = load_checkpoint(args.resume, state)
+        print(
+            f"resumed from {args.resume}: total_steps="
+            f"{resume_meta.get('total_steps')} "
+            f"eval_return={resume_meta.get('eval_return')}"
+        )
 
     replay = replay_init(
         training_config.buffer_size, (env.observation_dim,), env.action_dim
@@ -307,14 +323,18 @@ def main():
         return replay, env_states, warm_state, mean_reward
 
     logger = Logger(use_wandb=False, experiment_name=f"fused_{env_name}")
-    best_eval = float("-inf")
+    # Resumed runs keep raising the bar from the checkpoint's best eval (so a
+    # continuation never overwrites 'best' with a worse policy) and keep the
+    # env-step axis continuous in the logs.
+    _prev_eval = resume_meta.get("eval_return")
+    best_eval = float(_prev_eval) if _prev_eval is not None else float("-inf")
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
     warm_state = ()
     if warm_policy is not None:
         key, wkey = jax.random.split(key)
         warm_state = init_warm_state(wkey, args.num_envs, config.latent_dim)
-    total_steps = 0
+    total_steps = int(resume_meta.get("total_steps", 0))
 
     for it in range(args.iterations):
         t0 = time.perf_counter()

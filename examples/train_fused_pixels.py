@@ -49,6 +49,12 @@ def main():
     parser.add_argument("--checkpoint-dir", default=None,
                         help="save an Orbax 'best' checkpoint whenever "
                              "fused_eval improves (requires --eval-every)")
+    parser.add_argument("--resume", default=None,
+                        help="Orbax checkpoint (dir, or dir/best) to restore "
+                             "the train state from; best_eval and the step "
+                             "counter continue from the checkpoint meta. The "
+                             "replay starts fresh (device collection refills "
+                             "it in seconds).")
     args = parser.parse_args()
     if args.checkpoint_dir and not args.eval_every:
         parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
@@ -125,6 +131,18 @@ def main():
         pixel_config=pixel_config,
     )
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
+    resume_meta = {}
+    if args.resume:
+        from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
+
+        state, resume_meta = load_checkpoint(args.resume, state)
+        _prev_eval = resume_meta.get("eval_return")
+        if _prev_eval is not None:
+            best_eval = float(_prev_eval)
+        print(
+            f"resumed from {args.resume}: total_steps="
+            f"{resume_meta.get('total_steps')} eval_return={_prev_eval}"
+        )
 
     replay = DeviceReplayBuffer(
         args.buffer_size, env.obs_shape, env.action_dim, obs_dtype=jnp.uint8
@@ -174,7 +192,7 @@ def main():
     )
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
-    total_steps = 0
+    total_steps = int(resume_meta.get("total_steps", 0))
 
     for it in range(args.iterations):
         t0 = time.perf_counter()
