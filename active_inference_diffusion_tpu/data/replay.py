@@ -184,7 +184,10 @@ class HostReplayBuffer:
         self.dones = np.zeros((capacity,), bool)
         self.pos = 0
         self.size = 0
-        self._rng = np.random.default_rng(0)
+        # key=None fallback only; seeded from OS entropy so two buffers
+        # don't replay identical index sequences. Deterministic sampling
+        # comes from passing a key (see _sample_indices).
+        self._rng = np.random.default_rng()
 
     def add(self, obs, action, reward, next_obs, done):
         self.add_batch(
@@ -238,7 +241,7 @@ class CompressedReplayBuffer:
         self.dones = np.zeros((capacity,), bool)
         self.pos = 0
         self.size = 0
-        self._rng = np.random.default_rng(0)
+        self._rng = np.random.default_rng()  # key=None fallback only
 
         try:
             from ..native import compress, decompress, native_available

@@ -171,6 +171,58 @@ def _fused_pixel_renderer(env_name: str, size: int):
     raise ValueError(f"no on-device renderer for fused env {env_name!r}")
 
 
+def make_episode_renderer(
+    env_name: str,
+    policy_fn,
+    size: int = 168,
+    max_steps: Optional[int] = None,
+):
+    """Build a reusable on-device episode renderer for a fused JAX env.
+
+    ``policy_fn(params, obs, key) -> actions`` takes the acting params as an
+    explicit argument so the returned ``render(params, key)`` compiles ONCE
+    and serves every later call (periodic eval videos during training would
+    otherwise re-trace per video — a minutes-scale cold compile through the
+    axon tunnel). Returns ``(frames, episode_return, length)`` with
+    ``frames`` a host ``(length, H, W, 3) uint8`` array.
+    """
+    from ..envs.jax_envs import make_jax_env
+
+    env = make_jax_env(env_name)
+    renderer = _fused_pixel_renderer(env_name, size)
+    num_steps = env.max_episode_steps if max_steps is None else max_steps
+
+    @jax.jit
+    def roll(params, key):
+        def body(carry, step_key):
+            state, ret, alive = carry
+            action = policy_fn(params, state.obs[None], step_key)[0]
+            nxt = env.step(state, action)
+            ret = ret + alive * nxt.reward
+            alive = alive * (1.0 - nxt.done.astype(ret.dtype))
+            return (nxt, ret, alive), (nxt, alive)
+
+        reset_key, scan_key = jax.random.split(key)
+        state0 = env.reset(reset_key)
+        (_, ret, _), (states, alives) = jax.lax.scan(
+            body, (state0, jnp.zeros(()), jnp.ones(())),
+            jax.random.split(scan_key, num_steps),
+        )
+        frames = jax.vmap(renderer._render_state)(states)  # (T, 3, H, W)
+        first = renderer._render_state(state0)
+        frames = jnp.concatenate([first[None], frames], axis=0)
+        return frames, ret, alives
+
+    def render(params, key):
+        frames, ret, alives = roll(params, key)
+        # steps-before-terminal + initial frame + terminal-state frame
+        length = min(int(np.asarray(alives).sum()) + 2, int(frames.shape[0]))
+        frames = np.moveaxis(np.asarray(frames[:length]), 1, -1)
+        return frames, float(ret), length
+
+    return render
+
+
 def render_fused_episode(
     env_name: str,
     policy_fn,
@@ -186,41 +238,15 @@ def render_fused_episode(
 
     ``policy_fn(obs, key) -> action`` should be deterministic for eval
     semantics (e.g. ``make_rollout_policy(core, env, deterministic=True)``
-    closed over params). Returns ``(frames, episode_return, length)`` with
-    ``frames`` a host ``(length, H, W, 3) uint8`` array.
+    closed over params). One-shot convenience over
+    :func:`make_episode_renderer` (use the factory for repeated renders).
+    Returns ``(frames, episode_return, length)``.
     """
-    from ..envs.jax_envs import make_jax_env
-
-    env = make_jax_env(env_name)
-    renderer = _fused_pixel_renderer(env_name, size)
-    num_steps = env.max_episode_steps if max_steps is None else max_steps
-
-    def body(carry, step_key):
-        state, ret, alive = carry
-        action = policy_fn(state.obs[None], step_key)[0]
-        nxt = env.step(state, action)
-        ret = ret + alive * nxt.reward
-        alive = alive * (1.0 - nxt.done.astype(ret.dtype))
-        return (nxt, ret, alive), (nxt, alive)
-
-    @jax.jit
-    def roll(key):
-        reset_key, scan_key = jax.random.split(key)
-        state0 = env.reset(reset_key)
-        (_, ret, _), (states, alives) = jax.lax.scan(
-            body, (state0, jnp.zeros(()), jnp.ones(())),
-            jax.random.split(scan_key, num_steps),
-        )
-        frames = jax.vmap(renderer._render_state)(states)  # (T, 3, H, W)
-        first = renderer._render_state(state0)
-        frames = jnp.concatenate([first[None], frames], axis=0)
-        return frames, ret, alives
-
-    frames, ret, alives = roll(key)
-    # steps-before-terminal + initial frame + terminal-state frame
-    length = min(int(np.asarray(alives).sum()) + 2, int(frames.shape[0]))
-    frames = np.moveaxis(np.asarray(frames[:length]), 1, -1)  # (T, H, W, 3)
-    return frames, float(ret), length
+    render = make_episode_renderer(
+        env_name, lambda params, obs, k: policy_fn(obs, k),
+        size=size, max_steps=max_steps,
+    )
+    return render((), key)
 
 
 def save_gif(frames: np.ndarray, path: str, fps: int = 25) -> str:

@@ -14,6 +14,7 @@ Usage: python examples/train_fused.py --env Pendulum-v1 --iterations 50
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -209,6 +210,13 @@ def main():
                              "and the step counter continue from the "
                              "checkpoint meta. The replay buffer starts fresh "
                              "— the fused collector refills it in seconds.")
+    parser.add_argument("--video-every", type=int, default=0,
+                        help="every N iterations, roll one deterministic "
+                             "eval episode and rasterize it ON DEVICE into "
+                             "a GIF (utils/viz.make_episode_renderer; "
+                             "compiles once). 0 = off.")
+    parser.add_argument("--video-dir", default="videos",
+                        help="where --video-every GIFs land")
     args = parser.parse_args()
     if args.checkpoint_dir and not args.eval_every:
         parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
@@ -288,6 +296,13 @@ def main():
             env, lambda obs, k: eval_rollout(params, obs, k), key,
             args.eval_envs,
         )
+
+    video_render = None
+    if args.video_every:
+        from active_inference_diffusion_tpu.utils.viz import make_episode_renderer
+
+        video_render = make_episode_renderer(env_name, eval_rollout)
+        os.makedirs(args.video_dir, exist_ok=True)
 
     # NOTE: exploration on the fused path comes from the policy's own
     # stochastic sampling (sample_action); TrainingConfig.exploration_noise
@@ -383,6 +398,19 @@ def main():
                     extra_meta={"eval_return": best_eval, "env": env_name},
                 )
                 eval_str += " [best saved]"
+        if video_render is not None and (
+            it % args.video_every == 0 or it == args.iterations - 1
+        ):
+            from active_inference_diffusion_tpu.utils.viz import save_gif
+
+            key, vkey = jax.random.split(key)
+            frames, vret, _ = video_render(agent._acting_params(state), vkey)
+            vpath = os.path.join(
+                args.video_dir, f"fused_{env_name}_step{total_steps}.gif"
+            )
+            save_gif(frames, vpath)
+            log["fused/video_return"] = vret
+            eval_str += f" [video {vpath} ret={vret:.1f}]"
         logger.log(log, total_steps)
         if it % 10 == 0 or it == args.iterations - 1 or eval_str:
             print(
