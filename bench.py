@@ -742,6 +742,55 @@ def main():
     except Exception as e:
         log(f"fused pixel collect bench skipped: {type(e).__name__}: {e}")
 
+    # ================= AOT serving artifact =============================
+    # utils/serving.py: the acting path exported as a self-contained
+    # StableHLO artifact (params baked in). Measures export size, load
+    # time, and steady-state serve latency at request batch 1 and 64 —
+    # the deployment story the reference does not have.
+    try:
+        if not section_budget("serving section", 120):
+            raise TimeoutError("deadline")
+        from active_inference_diffusion_tpu.utils.serving import (
+            export_policy,
+            load_policy,
+        )
+
+        sstate = agent.init_train_state(jax.random.PRNGKey(21))
+        t0 = time.perf_counter()
+        blob = export_policy(agent, sstate, num_steps=5)
+        export_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        policy = load_policy(blob)
+        load_s = time.perf_counter() - t0
+        serve = {"artifact_bytes": len(blob),
+                 "export_seconds": round(export_s, 2),
+                 "load_seconds": round(load_s, 2)}
+        import numpy as _np
+
+        for b in (1, 64):
+            req = _np.zeros((b, 17), _np.float32)
+            act = policy(req)  # compile
+            if not _np.all(_np.isfinite(act)):
+                raise RuntimeError("served policy returned non-finite actions")
+            t0 = time.perf_counter()
+            reps = 20
+            for i in range(reps):
+                act = policy(req, seed=i)
+            ms = 1e3 * (time.perf_counter() - t0) / reps
+            serve[f"serve_ms_b{b}"] = round(ms, 2)
+        log(
+            f"AOT serving: {len(blob)/1e6:.2f} MB artifact (K=5 sweep), "
+            f"export {export_s:.1f}s, load {load_s:.1f}s, serve "
+            f"{serve['serve_ms_b1']:.2f} ms @ b=1 / {serve['serve_ms_b64']:.2f} "
+            f"ms @ b=64 (host numpy round trip included)"
+        )
+        detail["serving"] = serve
+        dump_detail()
+    except TimeoutError:
+        pass
+    except Exception as e:
+        log(f"serving bench skipped: {type(e).__name__}: {e}")
+
     # --- done ----------------------------------------------------------
     dump_detail()
     log(
