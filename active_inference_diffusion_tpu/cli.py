@@ -94,6 +94,13 @@ def main():
     )
     parser.add_argument("--pixels", action="store_true", help="Use pixel observations")
     parser.add_argument(
+        "--optimize-memory", action="store_true",
+        help="pixel replay with per-item LZ4 compression on the native C++ "
+             "codec (the reference's optimize_memory=True intent, reference "
+             "agents/pixel_agent.py:213 + utils/buffers.py:33-42 — whose "
+             "sample() crashes as written). Host-resident; use when the "
+             "uint8 stack does not fit HBM or host RAM uncompressed.")
+    parser.add_argument(
         "--total-timesteps", type=int, default=None,
         help="Default 1,000,000; a YAML --config value is NOT overridden "
         "unless this flag is passed explicitly",
@@ -207,7 +214,15 @@ def main():
         HostReplayBuffer,
     )
 
-    if args.pixels:
+    if args.pixels and args.optimize_memory:
+        from active_inference_diffusion_tpu.data.replay import (
+            CompressedReplayBuffer,
+        )
+
+        replay = CompressedReplayBuffer(
+            training_config.buffer_size, obs_shape, action_dim
+        )
+    elif args.pixels:
         # uint8 pixel storage: keep it in HBM when it fits (enables the fused
         # sample+train epoch; decode /255 happens on device in replay_sample),
         # else fall back to the host buffer.

@@ -244,11 +244,19 @@ class CompressedReplayBuffer:
         self._rng = np.random.default_rng()  # key=None fallback only
 
         try:
-            from ..native import compress, decompress, native_available
+            from ..native import (
+                compress,
+                decompress,
+                decompress_batch,
+                native_available,
+            )
 
             if native_available():
                 self._compress = compress
                 self._decompress = lambda blob: decompress(blob, self.obs_shape)
+                self._decompress_batch = lambda blobs: decompress_batch(
+                    blobs, self.obs_shape
+                )
             else:
                 raise ImportError
         except Exception:
@@ -260,6 +268,9 @@ class CompressedReplayBuffer:
             self._decompress = lambda blob: np.frombuffer(
                 zlib.decompress(blob), np.uint8
             ).reshape(self.obs_shape)
+            self._decompress_batch = lambda blobs: np.stack(
+                [self._decompress(b) for b in blobs]
+            )
 
     @staticmethod
     def _to_uint8(obs: np.ndarray) -> np.ndarray:
@@ -287,11 +298,13 @@ class CompressedReplayBuffer:
 
     def sample(self, key, batch_size: int) -> Dict[str, jnp.ndarray]:
         indices = _sample_indices(self._rng, key, self.size, batch_size)
-        obs = np.stack(
-            [self._decompress(self.observations[i]) for i in indices]
+        # One native call decodes the whole batch into a contiguous array
+        # (native.decompress_batch) — no per-item ctypes round trips/stack.
+        obs = self._decompress_batch(
+            [self.observations[i] for i in indices]
         ).astype(np.float32) / 255.0
-        next_obs = np.stack(
-            [self._decompress(self.next_observations[i]) for i in indices]
+        next_obs = self._decompress_batch(
+            [self.next_observations[i] for i in indices]
         ).astype(np.float32) / 255.0
         return {
             "observations": jnp.asarray(obs),

@@ -178,4 +178,22 @@ size_t aid_decompress(const uint8_t* src, size_t src_size, uint8_t* dst,
   return op == dst_size ? op : 0;
 }
 
+// Decompress n LZ4 blocks into one contiguous destination array:
+// block i -> dst[i*item_size .. (i+1)*item_size). One call per sampled
+// replay batch instead of one ctypes round trip per item (the Python-loop
+// overhead dominates the decode at replay batch sizes).
+// Returns the number of blocks decoded successfully; == n on success
+// (stops at the first malformed block).
+size_t aid_decompress_batch(const uint8_t* const* srcs,
+                            const size_t* src_sizes, size_t n, uint8_t* dst,
+                            size_t item_size) {
+  for (size_t i = 0; i < n; ++i) {
+    if (aid_decompress(srcs[i], src_sizes[i], dst + i * item_size,
+                       item_size) != item_size) {
+      return i;
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

@@ -177,6 +177,34 @@ def test_native_codec_roundtrip():
     assert (out == img).all()
 
 
+def test_native_batch_decompress():
+    """decompress_batch must equal per-item decompress and reject corrupt
+    blobs with the failing index."""
+    import pytest
+
+    from active_inference_diffusion_tpu.native import (
+        compress,
+        decompress,
+        decompress_batch,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("g++ unavailable; native codec not built")
+    rng = np.random.default_rng(1)
+    shape = (3, 8, 8)
+    frames = [rng.integers(0, 64, shape, dtype=np.uint8) for _ in range(16)]
+    blobs = [compress(f) for f in frames]
+    batch = decompress_batch(blobs, shape)
+    assert batch.shape == (16,) + shape
+    for i in range(16):
+        assert (batch[i] == decompress(blobs[i], shape)).all()
+        assert (batch[i] == frames[i]).all()
+    assert decompress_batch([], shape).shape == (0,) + shape
+    with pytest.raises(RuntimeError, match="item 1"):
+        decompress_batch([blobs[0], b"\xff\xff\x00", blobs[2]], shape)
+
+
 def test_compressed_replay_buffer():
     from active_inference_diffusion_tpu.data.replay import CompressedReplayBuffer
 
