@@ -461,6 +461,13 @@ class DiffusionStateAgent(BaseAgent):
         # cfg.imagined_value_targets the actor maximizes imagined
         # lambda-returns (Dreamer-style) instead of the mean EFE.
 
+        # Warmup gate (cfg.policy_anchor_warmup_steps): 0 until the gate
+        # step, then the configured weight. Traced on state.step, so one
+        # compiled program serves the whole run.
+        anchor_weight = cfg.policy_anchor_weight * jnp.where(
+            state.step >= cfg.policy_anchor_warmup_steps, 1.0, 0.0
+        )
+
         def policy_anchor(p_policy: Params) -> jnp.ndarray:
             """Mean KL(pi_live || pi_ema) on the replay belief latents —
             the late-run drift anchor (cfg.policy_anchor_weight)."""
@@ -489,7 +496,7 @@ class DiffusionStateAgent(BaseAgent):
                 )
                 anchor = policy_anchor(p["policy"])
                 info = dict(info, policy_anchor_kl=anchor)
-                actor_loss = actor_loss + cfg.policy_anchor_weight * anchor
+                actor_loss = actor_loss + anchor_weight * anchor
                 return actor_loss, (imag, info)
 
             (policy_loss, (imagination, efe_info)), policy_grads = (
@@ -508,7 +515,7 @@ class DiffusionStateAgent(BaseAgent):
                 anchor = policy_anchor(p["policy"])
                 efe_info = dict(efe_info, policy_anchor_kl=anchor)
                 return (
-                    jnp.mean(efe) + cfg.policy_anchor_weight * anchor,
+                    jnp.mean(efe) + anchor_weight * anchor,
                     efe_info,
                 )
 

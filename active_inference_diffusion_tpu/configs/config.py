@@ -356,6 +356,16 @@ class ActiveInferenceConfig:
     # squashed KL is identical). 0 disables. The EMA policy is maintained
     # whenever the weight > 0 or act_with_policy_ema is set.
     policy_anchor_weight: float = 0.0
+    # Anchor warmup: the anchor KL is inactive until this many train steps
+    # have run (hard gate on AgentTrainState.step, traced — no recompile).
+    # Resolves the measured anchor tension: anchoring from init traps
+    # from-scratch fused runs at the untrained policy (fused Ant3D run A:
+    # eval -680 -> -1782 monotone worsening), while unanchored runs collapse
+    # after their peak (Walker2d: +933 peak -> +10 final). With warmup the
+    # run learns freely, then the anchor locks the plateau in — by the gate
+    # step the Polyak average tracks the LEARNED policy (lag ~1/(1-decay)
+    # updates), so the anchor target is the recent good policy, not init.
+    policy_anchor_warmup_steps: int = 0
     policy_ema_decay: float = 0.995
     # Act/eval from the EMA policy instead of the live one (smooths the
     # eval curve; composes with use_ema_for_act which covers the score net).

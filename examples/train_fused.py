@@ -79,6 +79,7 @@ def build_run_config(args):
             imagined_reward_clip=args.imagined_reward_clip,
             policy_lr_scale=args.policy_lr_scale,
             policy_anchor_weight=args.policy_anchor_weight,
+            policy_anchor_warmup_steps=args.policy_anchor_warmup,
             num_dynamics_ensemble=args.dynamics_ensemble,
             ensemble_pessimism=args.ensemble_pessimism,
             predict_continuation=args.predict_continuation,
@@ -194,6 +195,10 @@ def main():
                              "scale (0 = off)")
     parser.add_argument("--policy-anchor-weight", type=float, default=0.0,
                         help="KL(live || EMA-policy) drift anchor weight")
+    parser.add_argument("--policy-anchor-warmup", type=int, default=0,
+                        help="train steps before the anchor activates (lets "
+                             "from-scratch runs learn freely, then locks the "
+                             "plateau; see DEVIATIONS.md anchor forensics)")
     parser.add_argument("--config", default=None,
                         help="YAML config (same schema as train.py). When "
                              "given, it is the base for the agent config and "
@@ -248,6 +253,18 @@ def main():
     from active_inference_diffusion_tpu.utils.logger import Logger
 
     env, env_name, config, training_config = build_run_config(args)
+    # Print BEFORE the first dispatch: through the axon tunnel the first
+    # fused-collect compile can take tens of minutes at humanoid scale, and
+    # a silent log reads as a hung job to any stale-log watchdog.
+    print(
+        f"fused training: env={env_name} obs={env.observation_dim} "
+        f"act={env.action_dim} latent={config.latent_dim} "
+        f"hidden={config.hidden_dim} ensemble={config.num_dynamics_ensemble} "
+        f"anchor={config.policy_anchor_weight}"
+        f"@{config.policy_anchor_warmup_steps} — first iteration compiles "
+        "the fused programs (minutes through a remote chip)",
+        flush=True,
+    )
     agent = DiffusionStateAgent(
         env.observation_dim, env.action_dim, config, training_config
     )

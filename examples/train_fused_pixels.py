@@ -22,7 +22,9 @@ import time
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--env", default="PendulumPixels-v0",
+        "--env", default=None,
+        help="defaults to the YAML's env_name with --config, else "
+             "PendulumPixels-v0",
         choices=["PendulumPixels-v0", "ReacherPixels-v0",
                  # on-device rendered planar MuJoCo tasks (envs/planar.py
                  # physics + envs/pixel_render.make_planar_pixels raster)
@@ -36,7 +38,9 @@ def main():
     parser.add_argument("--steps-per-iter", type=int, default=16)
     parser.add_argument("--updates-per-iter", type=int, default=32)
     parser.add_argument("--iterations", type=int, default=40)
-    parser.add_argument("--buffer-size", type=int, default=15_000)
+    parser.add_argument("--buffer-size", type=int, default=None,
+                        help="replay capacity (default: the YAML's "
+                             "training.buffer_size with --config, else 15k)")
     parser.add_argument("--eval-envs", type=int, default=16)
     parser.add_argument("--eval-every", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
@@ -55,6 +59,16 @@ def main():
                              "counter continue from the checkpoint meta. The "
                              "replay starts fresh (device collection refills "
                              "it in seconds).")
+    parser.add_argument("--config", default=None,
+                        help="YAML config (same schema as train.py / "
+                             "train_fused.py). When given it is the base for "
+                             "the agent config — the model/stack flags above "
+                             "(--latent-dim/--hidden-dim/--batch-size) are "
+                             "IGNORED; loop-shape flags (--num-envs/"
+                             "--steps-per-iter/--updates-per-iter/"
+                             "--iterations/--eval-*/--buffer-size/--size/"
+                             "--frame-stack) still apply. An explicit --env "
+                             "wins over the YAML's env_name.")
     args = parser.parse_args()
     if args.checkpoint_dir and not args.eval_every:
         parser.error("--checkpoint-dir requires --eval-every (best-eval saves)")
@@ -86,44 +100,70 @@ def main():
         make_rigid3d_pixels,
     )
 
-    if args.env.endswith("PlanarPixels-v0"):
+    if args.config:
+        from active_inference_diffusion_tpu.configs.config import (
+            load_yaml_config,
+        )
+
+        config, training_config, yaml_pixel = load_yaml_config(args.config)
+        env_name = args.env or config.env_name or "PendulumPixels-v0"
+        config.pixel_observation = True
+    else:
+        env_name = args.env or "PendulumPixels-v0"
+        yaml_pixel = None
+        config = ActiveInferenceConfig(
+            latent_dim=args.latent_dim,
+            hidden_dim=args.hidden_dim,
+            score_num_layers=2,
+            batch_size=args.batch_size,
+            efe_horizon=3,
+            num_efe_trajectories=4,
+            pixel_observation=True,
+            posterior_beliefs=True,
+            act_from_posterior=True,
+            imagined_value_targets=True,
+            imagine_deterministic=True,
+            auto_entropy=True,
+            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+        )
+        training_config = TrainingConfig(
+            buffer_size=args.buffer_size or 15_000, collect_diffusion_steps=5
+        )
+
+    if env_name.endswith("PlanarPixels-v0"):
         env = make_planar_pixels(
-            args.env.replace("PlanarPixels-v0", "-v4"),
+            env_name.replace("PlanarPixels-v0", "-v4"),
             size=args.size, frame_stack=args.frame_stack,
         )
-    elif args.env.endswith("3DPixels-v0"):
+    elif env_name.endswith("3DPixels-v0"):
         env = make_rigid3d_pixels(
-            args.env.replace("3DPixels-v0", "-v4"),
+            env_name.replace("3DPixels-v0", "-v4"),
             size=args.size, frame_stack=args.frame_stack,
         )
     else:
         env_cls = (
-            PendulumPixels if args.env == "PendulumPixels-v0" else ReacherPixels
+            PendulumPixels if env_name == "PendulumPixels-v0" else ReacherPixels
         )
         env = env_cls(size=args.size, frame_stack=args.frame_stack)
-    config = ActiveInferenceConfig(
-        action_dim=env.action_dim,
-        latent_dim=args.latent_dim,
-        hidden_dim=args.hidden_dim,
-        score_num_layers=2,
-        batch_size=args.batch_size,
-        efe_horizon=3,
-        num_efe_trajectories=4,
-        pixel_observation=True,
-        posterior_beliefs=True,
-        act_from_posterior=True,
-        imagined_value_targets=True,
-        imagine_deterministic=True,
-        auto_entropy=True,
-        diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
-    )
+    config.action_dim = env.action_dim
+    config.env_name = env_name
     pixel_config = PixelObservationConfig(
         image_shape=(3, env.size, env.size),
         frame_stack=env.frame_stack,
-        encoder_feature_dim=args.latent_dim,
+        encoder_feature_dim=(
+            yaml_pixel.encoder_feature_dim if yaml_pixel is not None
+            else config.latent_dim
+        ),
     )
-    training_config = TrainingConfig(
-        buffer_size=args.buffer_size, collect_diffusion_steps=5
+    if args.config and args.buffer_size is not None:
+        training_config.buffer_size = args.buffer_size
+    print(
+        f"fused pixel training: env={env_name} size={env.size} "
+        f"stack={env.frame_stack} latent={config.latent_dim} "
+        f"hidden={config.hidden_dim} feature="
+        f"{pixel_config.encoder_feature_dim} — first iteration compiles "
+        "the fused programs (minutes through a remote chip)",
+        flush=True,
     )
     agent = DiffusionPixelAgent(
         obs_shape=env.obs_shape, action_dim=env.action_dim,
@@ -145,7 +185,8 @@ def main():
         )
 
     replay = DeviceReplayBuffer(
-        args.buffer_size, env.obs_shape, env.action_dim, obs_dtype=jnp.uint8
+        training_config.buffer_size, env.obs_shape, env.action_dim,
+        obs_dtype=jnp.uint8,
     )
 
 
@@ -188,7 +229,7 @@ def main():
         )
 
     logger = Logger(
-        use_wandb=False, experiment_name=f"fused_pixels_{args.env.split('-')[0]}"
+        use_wandb=False, experiment_name=f"fused_pixels_{env_name.split('-')[0]}"
     )
     key = jax.random.PRNGKey(args.seed + 1)
     env_states = None
@@ -241,7 +282,7 @@ def main():
                     args.checkpoint_dir, state, step=total_steps,
                     config=config, training_config=training_config,
                     keep_latest_alias=False, name="best",
-                    extra_meta={"eval_return": best_eval, "env": args.env},
+                    extra_meta={"eval_return": best_eval, "env": env_name},
                 )
                 eval_str += " [best saved]"
 

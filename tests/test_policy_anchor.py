@@ -124,6 +124,39 @@ def test_anchor_metric_reported_in_imagined_mode():
     assert max(diffs) > 0.0
 
 
+def test_anchor_warmup_gates_the_anchor():
+    """Before policy_anchor_warmup_steps the anchor term must not restrain
+    the policy; after the gate step it must (same seeds/batches). The gate
+    is traced on state.step, so one compiled program serves both regimes."""
+
+    def run(warmup):
+        agent = make_agent(
+            policy_anchor_weight=1e4, policy_anchor_warmup_steps=warmup
+        )
+        state = agent.init_train_state(jax.random.PRNGKey(0))
+        init_policy = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(), state.params["policy"]
+        )
+        for i in range(4):
+            state, metrics = agent.train_step(
+                state, make_batch(jax.random.PRNGKey(100 + i))
+            )
+        moved = sum(
+            float(np.abs(np.asarray(a) - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.params["policy"]),
+                jax.tree_util.tree_leaves(init_policy),
+            )
+        )
+        return moved
+
+    moved_gated_off = run(warmup=100)   # gate never reached in 4 steps
+    moved_active = run(warmup=0)        # anchor live from step 0
+    assert moved_active < 0.5 * moved_gated_off, (
+        moved_active, moved_gated_off,
+    )
+
+
 def test_act_with_policy_ema_uses_ema_params():
     agent = make_agent(act_with_policy_ema=True)
     state = agent.init_train_state(jax.random.PRNGKey(0))
