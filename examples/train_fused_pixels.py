@@ -19,6 +19,83 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import time
 
 
+def build_pixel_run_config(args):
+    """Assemble (env, env_name, config, pixel_config, training_config) from
+    parsed args. Precedence mirrors train_fused.build_run_config (tested in
+    tests/test_train_fused_config.py): with --config the YAML is the base —
+    an explicit --env wins over its env_name, model/stack flags are ignored;
+    without it the flags build the config. --buffer-size applies in both
+    modes only when explicitly passed."""
+    from active_inference_diffusion_tpu.configs.config import (
+        ActiveInferenceConfig,
+        DiffusionConfig,
+        PixelObservationConfig,
+        TrainingConfig,
+        load_yaml_config,
+    )
+    from active_inference_diffusion_tpu.envs.pixel_render import (
+        PendulumPixels,
+        ReacherPixels,
+        make_planar_pixels,
+        make_rigid3d_pixels,
+    )
+
+    if args.config:
+        config, training_config, yaml_pixel = load_yaml_config(args.config)
+        env_name = args.env or config.env_name or "PendulumPixels-v0"
+        config.pixel_observation = True
+    else:
+        env_name = args.env or "PendulumPixels-v0"
+        yaml_pixel = None
+        config = ActiveInferenceConfig(
+            latent_dim=args.latent_dim,
+            hidden_dim=args.hidden_dim,
+            score_num_layers=2,
+            batch_size=args.batch_size,
+            efe_horizon=3,
+            num_efe_trajectories=4,
+            pixel_observation=True,
+            posterior_beliefs=True,
+            act_from_posterior=True,
+            imagined_value_targets=True,
+            imagine_deterministic=True,
+            auto_entropy=True,
+            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
+        )
+        training_config = TrainingConfig(
+            buffer_size=args.buffer_size or 15_000, collect_diffusion_steps=5
+        )
+
+    if env_name.endswith("PlanarPixels-v0"):
+        env = make_planar_pixels(
+            env_name.replace("PlanarPixels-v0", "-v4"),
+            size=args.size, frame_stack=args.frame_stack,
+        )
+    elif env_name.endswith("3DPixels-v0"):
+        env = make_rigid3d_pixels(
+            env_name.replace("3DPixels-v0", "-v4"),
+            size=args.size, frame_stack=args.frame_stack,
+        )
+    else:
+        env_cls = (
+            PendulumPixels if env_name == "PendulumPixels-v0" else ReacherPixels
+        )
+        env = env_cls(size=args.size, frame_stack=args.frame_stack)
+    config.action_dim = env.action_dim
+    config.env_name = env_name
+    pixel_config = PixelObservationConfig(
+        image_shape=(3, env.size, env.size),
+        frame_stack=env.frame_stack,
+        encoder_feature_dim=(
+            yaml_pixel.encoder_feature_dim if yaml_pixel is not None
+            else config.latent_dim
+        ),
+    )
+    if args.config and args.buffer_size is not None:
+        training_config.buffer_size = args.buffer_size
+    return env, env_name, config, pixel_config, training_config
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -78,12 +155,6 @@ def main():
     import jax.numpy as jnp
 
     from active_inference_diffusion_tpu.agents.pixel_agent import DiffusionPixelAgent
-    from active_inference_diffusion_tpu.configs.config import (
-        ActiveInferenceConfig,
-        DiffusionConfig,
-        PixelObservationConfig,
-        TrainingConfig,
-    )
     from active_inference_diffusion_tpu.data.replay import DeviceReplayBuffer
     from active_inference_diffusion_tpu.envs.jax_envs import (
         flatten_transitions,
@@ -93,70 +164,9 @@ def main():
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
 
-    from active_inference_diffusion_tpu.envs.pixel_render import (
-        PendulumPixels,
-        ReacherPixels,
-        make_planar_pixels,
-        make_rigid3d_pixels,
+    env, env_name, config, pixel_config, training_config = (
+        build_pixel_run_config(args)
     )
-
-    if args.config:
-        from active_inference_diffusion_tpu.configs.config import (
-            load_yaml_config,
-        )
-
-        config, training_config, yaml_pixel = load_yaml_config(args.config)
-        env_name = args.env or config.env_name or "PendulumPixels-v0"
-        config.pixel_observation = True
-    else:
-        env_name = args.env or "PendulumPixels-v0"
-        yaml_pixel = None
-        config = ActiveInferenceConfig(
-            latent_dim=args.latent_dim,
-            hidden_dim=args.hidden_dim,
-            score_num_layers=2,
-            batch_size=args.batch_size,
-            efe_horizon=3,
-            num_efe_trajectories=4,
-            pixel_observation=True,
-            posterior_beliefs=True,
-            act_from_posterior=True,
-            imagined_value_targets=True,
-            imagine_deterministic=True,
-            auto_entropy=True,
-            diffusion=DiffusionConfig(num_diffusion_steps=10, beta_schedule="cosine"),
-        )
-        training_config = TrainingConfig(
-            buffer_size=args.buffer_size or 15_000, collect_diffusion_steps=5
-        )
-
-    if env_name.endswith("PlanarPixels-v0"):
-        env = make_planar_pixels(
-            env_name.replace("PlanarPixels-v0", "-v4"),
-            size=args.size, frame_stack=args.frame_stack,
-        )
-    elif env_name.endswith("3DPixels-v0"):
-        env = make_rigid3d_pixels(
-            env_name.replace("3DPixels-v0", "-v4"),
-            size=args.size, frame_stack=args.frame_stack,
-        )
-    else:
-        env_cls = (
-            PendulumPixels if env_name == "PendulumPixels-v0" else ReacherPixels
-        )
-        env = env_cls(size=args.size, frame_stack=args.frame_stack)
-    config.action_dim = env.action_dim
-    config.env_name = env_name
-    pixel_config = PixelObservationConfig(
-        image_shape=(3, env.size, env.size),
-        frame_stack=env.frame_stack,
-        encoder_feature_dim=(
-            yaml_pixel.encoder_feature_dim if yaml_pixel is not None
-            else config.latent_dim
-        ),
-    )
-    if args.config and args.buffer_size is not None:
-        training_config.buffer_size = args.buffer_size
     print(
         f"fused pixel training: env={env_name} size={env.size} "
         f"stack={env.frame_stack} latent={config.latent_dim} "
