@@ -93,10 +93,10 @@ def _stale_fallback_payload(reason: str) -> dict:
     """Contract line built from the last committed bench_detail.json — an
     honest, clearly-labelled artifact for when the live run cannot finish
     (relay dead, or the flagship cold compile ate the whole budget)."""
-    # Last-known-good TPU measurement (2026-08-19 live run, BENCH_r02 tail:
-    # 487.2 sweeps/s f32) — used when bench_detail.json is absent or holds a
-    # CPU smoke-run's numbers.
-    sps = 487.2
+    # Last-known-good TPU measurement (2026-08-19 live run: 529.1 sweeps/s
+    # f32) — used when bench_detail.json is absent or holds a CPU
+    # smoke-run's numbers.
+    sps = 529.1
     try:
         cached = json.loads(DETAIL_FILE.read_text())
         if cached.get("device", "").startswith("tpu"):
@@ -910,6 +910,10 @@ def other_tpu_job_running() -> bool:
     train_scripts = (
         "train.py", "train_fused.py", "train_fused_pixels.py",
         "train_multichip.py",
+        # another bench.py counts too: two bench clients through the tunnel
+        # wedged it on 2026-08-19 (a queued bench raced an already-running
+        # one and both stalled)
+        "bench.py",
     )
     for pid in os.listdir("/proc"):
         if not pid.isdigit() or int(pid) == me:
