@@ -418,6 +418,9 @@ def main():
 
         hf = sweep_flops(256, 64, h_agent.config.score_num_layers, 50, BATCH)
         sc = {}
+        # write-through: a mid-section kill (driver timeout, tunnel wedge)
+        # keeps the rows measured so far
+        detail["humanoid_scale"] = sc
         res = bench_sweep(
             h_agent, h_params, h_obs, key,
             "humanoid-scale sweep (XLA scan, f32)", flops=hf,
@@ -426,6 +429,7 @@ def main():
             sc["xla_f32_sweeps_per_sec"] = round(res[0], 1)
             sc["xla_f32_tf_per_sec"] = round(hf * res[0] / 1e12, 2)
             key = res[2]
+            dump_detail()
         with jax.default_matmul_precision("bfloat16"):
             res = bench_sweep(
                 h_agent, h_params, h_obs, key,
@@ -434,6 +438,7 @@ def main():
         if res:
             sc["xla_bf16_sweeps_per_sec"] = round(res[0], 1)
             key = res[2]
+            dump_detail()
         if dev.platform == "tpu":
             h_agent.config.tpu.compute_dtype = "bfloat16"
             res = bench_sweep(
@@ -448,6 +453,7 @@ def main():
                     sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
                     log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
                 key = res[2]
+                dump_detail()
             h_agent.config.tpu.compute_dtype = "float32"
 
         # act-time sweep A/B: host-env collection acts on num_parallel_envs
@@ -513,6 +519,7 @@ def main():
                 ms = 1e3 * (time.perf_counter() - t0) / 5
                 log(f"{label}: {ms:.1f} ms (compile {c:.1f}s)")
                 sc[f"train_step_ms_remat_{remat}"] = round(ms, 1)
+                dump_detail()
             except Exception as e:
                 log(f"{label}: failed ({type(e).__name__}: {e})")
         h_agent.config.tpu.remat_score_network = False
