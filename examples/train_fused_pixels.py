@@ -270,6 +270,9 @@ def main():
             {
                 "fused/mean_step_reward": float(mean_reward),
                 "fused/env_steps_per_sec": steps_s,
+                # full per-loss metrics (the state trainer logs these too;
+                # without them a flat eval curve cannot be diagnosed post hoc)
+                **({k: float(v) for k, v in metrics.items()} if train_str else {}),
             },
             total_steps,
         )
