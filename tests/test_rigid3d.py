@@ -26,6 +26,20 @@ import gymnasium.envs.mujoco as gym_mujoco
 
 from active_inference_diffusion_tpu.envs import rigid3d
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Serializing this module's giant CPU executables (humanoid physics,
+    perspective rasterizer) for the persistent compile cache crashes jaxlib
+    — observed twice on 2026-08-19 as a Fatal abort / segfault inside
+    compilation_cache.put_executable_and_time once host contention pushed
+    their compile times over the cache threshold. Disable the cache for
+    this module only; the rest of the suite keeps the warm-start benefit."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
 _F64_FIELDS = [
     "body_pos", "body_ipos", "mass", "inertia", "jnt_axis", "jnt_anchor",
     "qpos0", "jnt_range", "jnt_limited", "damping", "armature", "gear",
