@@ -24,15 +24,17 @@ are implementable exactly:
 - Integrators match MuJoCo per model: RK4 (Hopper/Walker2d) and
   implicit-damping semi-implicit Euler (HalfCheetah). Contact-free
   trajectories therefore track ``mj_step`` closely (tested).
-- Ground contact is the one APPROXIMATION: MuJoCo's constraint solver is
-  replaced by a smooth penalty model (spring–damper normal force on capsule
-  endpoints/midpoints against the z=0 plane, tanh-regularized Coulomb
-  friction, one-sided joint-limit springs). Trained behaviors transfer in
-  kind, not bit-for-bit — returns on these "*Planar" envs are NOT directly
-  comparable to `gym.make` returns. Task semantics on top of the physics
-  state (observation layout, reward terms, termination, reset noise) reuse
-  `envs/mujoco_tasks.py`, the layer cross-validated bit-for-bit against
-  Gymnasium.
+- Ground contact is the one APPROXIMATION. Default (round 4+): velocity-
+  level unilateral constraints — contact normals, Coulomb friction boxes,
+  and joint limits solved together by projected Gauss–Seidel impulses
+  (``contact_projection``), MuJoCo's own solver family. A smooth penalty
+  model (spring–damper normal + tanh Coulomb + limit springs) survives
+  behind ``contact_model="penalty"``. Either way trained behaviors transfer
+  in kind, not bit-for-bit — returns on these "*Planar" envs are NOT
+  directly comparable to `gym.make` returns. Task semantics on top of the
+  physics state (observation layout, reward terms, termination, reset
+  noise) reuse `envs/mujoco_tasks.py`, the layer cross-validated
+  bit-for-bit against Gymnasium.
 """
 
 from __future__ import annotations
@@ -111,6 +113,12 @@ class PlanarModel(NamedTuple):
     slip_velocity: float
     limit_stiffness: float
     limit_damping: float
+    # "constraint": ground contact + joint limits as velocity-level
+    # unilateral constraints solved by projected Gauss-Seidel impulses after
+    # each substep (MuJoCo's solver family — the reference trains on
+    # gym.make envs whose contacts come from the mjCONSTRAINT solver, not
+    # springs). "penalty": the legacy smooth spring-damper model.
+    contact_model: str
 
 
 def _quat_to_mat(q) -> np.ndarray:
@@ -137,18 +145,25 @@ def extract_planar_model(
     slip_velocity: float = 0.05,
     limit_stiffness: float = 3.0e3,
     limit_damping: float = 30.0,
+    contact_model: str = "constraint",
 ) -> PlanarModel:
     """Build a PlanarModel from the installed Gymnasium MuJoCo XML (host
     `mujoco` binding; construction-time only — nothing here is traced).
 
-    Contact-penalty defaults were grid-calibrated against full-contact
-    ``mj_step`` Hopper trajectories (zero-action settling, scripted hops,
-    random actions, 100 control steps each): k=1e4 dominated 3e4/1e5 in
-    every regime (lower k also de-stiffens HalfCheetah's substepped Euler);
-    damping 600 balances rest accuracy (0.011 qpos RMSE settling) against
-    dynamic-bounce matching. Hopping-contact trajectories are chaotic, so
-    any penalty model diverges from MuJoCo's constraint solver within a few
-    bounces — behavior class transfers, trajectories do not."""
+    ``contact_model="constraint"`` (default since round 4) handles ground
+    contact and joint limits as velocity-level unilateral impulses
+    (``contact_projection``) — MuJoCo's own solver family. The legacy
+    penalty model stays behind ``contact_model="penalty"``; its defaults
+    were grid-calibrated against full-contact ``mj_step`` Hopper
+    trajectories (zero-action settling, scripted hops, random actions, 100
+    control steps each): k=1e4 dominated 3e4/1e5 in every regime (lower k
+    also de-stiffens HalfCheetah's substepped Euler); damping 600 balances
+    rest accuracy (0.011 qpos RMSE settling) against dynamic-bounce
+    matching. Hopping-contact trajectories are chaotic, so any approximate
+    model diverges from MuJoCo's solver within a few bounces — behavior
+    class transfers, trajectories do not. Measured consequence of the
+    penalty model (round 3): fused HopperPlanar pinned at eval ~30 while
+    the identical agent stack reaches 255-322 on host MuJoCo Hopper."""
     import os
 
     import gymnasium.envs.mujoco as gym_mujoco
@@ -308,6 +323,7 @@ def extract_planar_model(
         slip_velocity=slip_velocity,
         limit_stiffness=limit_stiffness,
         limit_damping=limit_damping,
+        contact_model=contact_model,
     )
 
 
@@ -401,24 +417,25 @@ def bias_forces(
     return coriolis + jax.grad(potential)(qpos)
 
 
+def _contact_points(model: PlanarModel, qpos: jnp.ndarray) -> jnp.ndarray:
+    """World positions of the contact candidate points, (ncp, 2) = (x, z)."""
+    pos, th = forward_kinematics(model, qpos)
+    body_pos = pos[model.cp_body]
+    body_th = th[model.cp_body]
+    offs = jax.vmap(lambda t, o: _rot(t) @ o)(
+        body_th, model.cp_offset.astype(qpos.dtype)
+    )
+    return body_pos + offs
+
+
 def contact_forces(
     model: PlanarModel, qpos: jnp.ndarray, qvel: jnp.ndarray
 ) -> jnp.ndarray:
     """Generalized forces from penalty ground contact at the candidate
     points: spring-damper normal (one-sided) + tanh-regularized Coulomb
     friction, mapped through point Jacobians (Jᵀ f)."""
-
-    def points(q):
-        pos, th = forward_kinematics(model, q)
-        body_pos = pos[model.cp_body]
-        body_th = th[model.cp_body]
-        offs = jax.vmap(lambda t, o: _rot(t) @ o)(
-            body_th, model.cp_offset.astype(q.dtype)
-        )
-        return body_pos + offs  # (ncp, 2) -> columns (x, z)
-
-    P = points(qpos)  # (ncp, 2)
-    J = jax.jacfwd(points)(qpos)  # (ncp, 2, nj)
+    P = _contact_points(model, qpos)  # (ncp, 2)
+    J = jax.jacfwd(lambda q: _contact_points(model, q))(qpos)  # (ncp, 2, nj)
     V = jnp.einsum("pij,j->pi", J, qvel)  # point velocities
 
     pen = model.cp_radius.astype(qpos.dtype) - P[:, 1]  # > 0 when penetrating
@@ -442,10 +459,14 @@ def passive_and_limit_forces(
     model: PlanarModel, qpos: jnp.ndarray, qvel: jnp.ndarray
 ) -> jnp.ndarray:
     """Joint damping + spring stiffness (MuJoCo qfrc_passive) and one-sided
-    joint-limit penalty springs (approximating the limit constraints)."""
+    joint-limit penalty springs (approximating the limit constraints).
+    In "constraint" mode limits are impulses (``contact_projection``),
+    not forces."""
     passive = -model.damping.astype(qpos.dtype) * qvel - model.stiffness.astype(
         qpos.dtype
     ) * (qpos - model.springref.astype(qpos.dtype))
+    if model.contact_model == "constraint":
+        return passive
     lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
     below = jnp.maximum(lo.astype(qpos.dtype) - qpos, 0.0)
     above = jnp.maximum(qpos - hi.astype(qpos.dtype), 0.0)
@@ -488,10 +509,121 @@ def qacc(
     rhs = (
         applied_torques(model, ctrl)
         + passive_and_limit_forces(model, qpos, qvel)
-        + contact_forces(model, qpos, qvel)
         - bias_forces(model, qpos, qvel)
     )
+    if model.contact_model != "constraint":
+        rhs = rhs + contact_forces(model, qpos, qvel)
     return jnp.linalg.solve(M, rhs)
+
+
+def _limited_joints(model: PlanarModel) -> list:
+    """Static list of limited joint indices (planar models have one dof per
+    joint in model order, so joint index == dof index == qpos index)."""
+    limited = np.asarray(model.jnt_limited)
+    return [j for j in range(len(model.jnt_body)) if float(limited[j]) > 0.0]
+
+
+def contact_projection(
+    model: PlanarModel,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+    h: float,
+    n_iters: int = 8,
+    beta: float = 0.2,
+    max_bias_vel: float = 2.0,
+) -> jnp.ndarray:
+    """Ground contact + joint limits as velocity-level unilateral constraints
+    solved by projected Gauss–Seidel impulses — MuJoCo's own solver family
+    (the reference trains on gym.make envs whose contacts come from the
+    mjCONSTRAINT solver, reference examples/train_mujoco.py:41-70; this is
+    the port of envs/rigid3d.py::limit_projection extended with contact
+    normals and a friction-cone box clamp).
+
+    Rows, swept in order each PGS iteration:
+    - joint limits: for each limited joint in violation, λ ≥ 0 along the
+      outward normal ±e_j enforcing n_j·v' ≥ bias_j;
+    - contact normals: for each penetrating candidate point, λ_n ≥ 0 along
+      the world +z row of the point Jacobian enforcing separation velocity
+      ≥ bias (Baumgarte: removes the position error over a few substeps,
+      capped at ``max_bias_vel`` so deep penetrations don't pop);
+    - contact friction: tangential impulse driving the slip velocity to 0,
+      clamped to the Coulomb box |λ_t| ≤ μ·λ_n (re-read every sweep, so the
+      cone tracks the converging normal impulse).
+
+    Impulses couple through M⁻¹ (Δv = M⁻¹ Jᵀ λ). Unlike the penalty model
+    this cannot inject energy into contact cycles, and stance friction is
+    exactly sticking below the cone — the measured failure of the penalty
+    model was fused HopperPlanar pinned at eval ~30 (never leaves stance)
+    vs 255-322 for the identical agent stack on host MuJoCo Hopper."""
+    dtype = qpos.dtype
+    ncp = int(model.cp_offset.shape[0])
+
+    # contact rows at the current configuration
+    P = _contact_points(model, qpos)  # (ncp, 2)
+    J = jax.jacfwd(lambda q: _contact_points(model, q))(qpos)  # (ncp, 2, nj)
+    pen = model.cp_radius.astype(dtype) - P[:, 1]  # > 0 when penetrating
+    c_active = (pen > 0.0).astype(dtype)
+    c_bias = jnp.minimum(
+        beta * jnp.maximum(pen, 0.0) / jnp.asarray(h, dtype), max_bias_vel
+    )
+    Jn = J[:, 1, :]  # (ncp, nj) world-z rows
+    Jt = J[:, 0, :]  # (ncp, nj) world-x rows
+    mu = model.cp_friction.astype(dtype)
+
+    # limit rows (static set; planar joint index == dof index)
+    lim = _limited_joints(model)
+    nl = len(lim)
+    lim_idx = jnp.asarray(lim) if nl else jnp.zeros((0,), jnp.int32)
+    lo = model.jnt_range[lim_idx, 0].astype(dtype)
+    hi = model.jnt_range[lim_idx, 1].astype(dtype)
+    q_l = qpos[lim_idx]
+    c_lo = lo - q_l
+    c_hi = q_l - hi
+    n_l = jnp.where(c_lo > c_hi, 1.0, -1.0).astype(dtype)
+    viol = jnp.maximum(jnp.maximum(c_lo, c_hi), 0.0)
+    l_active = (viol > 0.0).astype(dtype)
+    l_bias = jnp.minimum(beta * viol / jnp.asarray(h, dtype), max_bias_vel)
+
+    minv = jnp.linalg.inv(mass_matrix(model, qpos))
+    eps = jnp.asarray(1e-9, dtype)
+    cols_n = minv @ Jn.T  # (nj, ncp): Δv per unit normal impulse
+    a_n = jnp.einsum("pi,ip->p", Jn, cols_n) + eps
+    cols_t = minv @ Jt.T
+    a_t = jnp.einsum("pi,ip->p", Jt, cols_t) + eps
+    cols_l = minv[:, lim_idx] * n_l[None, :]  # (nj, nl)
+    a_l = jnp.diagonal(minv[lim_idx][:, lim_idx]) + eps if nl else None
+
+    def gs_sweep(carry):
+        v, lam_l, lam_n, lam_t = carry
+        for i in range(nl):  # static unroll
+            dl = (l_bias[i] - n_l[i] * v[lim_idx[i]]) / a_l[i]
+            new = jnp.maximum(lam_l[i] + dl, 0.0) * l_active[i]
+            v = v + cols_l[:, i] * (new - lam_l[i])
+            lam_l = lam_l.at[i].set(new)
+        for p in range(ncp):  # static unroll
+            dl = (c_bias[p] - Jn[p] @ v) / a_n[p]
+            new = jnp.maximum(lam_n[p] + dl, 0.0) * c_active[p]
+            v = v + cols_n[:, p] * (new - lam_n[p])
+            lam_n = lam_n.at[p].set(new)
+            dl = -(Jt[p] @ v) / a_t[p]
+            cone = mu[p] * lam_n[p]
+            new = jnp.clip(lam_t[p] + dl, -cone, cone) * c_active[p]
+            v = v + cols_t[:, p] * (new - lam_t[p])
+            lam_t = lam_t.at[p].set(new)
+        return v, lam_l, lam_n, lam_t
+
+    v, _, _, _ = jax.lax.fori_loop(
+        0,
+        n_iters,
+        lambda _, c: gs_sweep(c),
+        (
+            qvel,
+            jnp.zeros((nl,), dtype),
+            jnp.zeros((ncp,), dtype),
+            jnp.zeros((ncp,), dtype),
+        ),
+    )
+    return v
 
 
 def step_physics(
@@ -505,6 +637,8 @@ def step_physics(
     this model (RK4 or implicit-damping semi-implicit Euler), each split into
     ``model.n_substeps`` integration substeps."""
     h = jnp.asarray(model.dt / model.n_substeps, qpos.dtype)
+    h_f = float(model.dt / model.n_substeps)
+    constraint = model.contact_model == "constraint"
     # the physics state dtype is authoritative (an f64 action under x64 must
     # not promote the integration carry)
     ctrl = ctrl.astype(qpos.dtype)
@@ -522,17 +656,24 @@ def step_physics(
             k4q, k4v = deriv(q + h * k3q, qd + h * k3v)
             q = q + (h / 6.0) * (k1q + 2 * k2q + 2 * k3q + k4q)
             qd = qd + (h / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
+            if constraint:
+                # impulses at the post-step configuration (the pattern
+                # validated in rigid3d; Baumgarte removes the one-substep
+                # penetration next substep)
+                qd = contact_projection(model, q, qd, h_f)
             return (q, qd), None
 
     else:
 
         def substep(carry, _):
             q, qd = carry
-            a = qacc(
-                model, q, qd, ctrl,
-                implicit_damping_dt=float(model.dt / model.n_substeps),
-            )
+            a = qacc(model, q, qd, ctrl, implicit_damping_dt=h_f)
             qd = qd + h * a
+            if constraint:
+                # project BEFORE the position update (semi-implicit): the
+                # position then advances with the constrained velocity, so
+                # penetration cannot grow within a substep
+                qd = contact_projection(model, q, qd, h_f)
             q = q + h * qd
             return (q, qd), None
 
@@ -550,9 +691,11 @@ def step_physics(
 class PlanarMJCEnv(JaxEnv):
     """On-device planar-physics env for Hopper/Walker2d/HalfCheetah with the
     exact Gymnasium ``-v4`` task semantics layer (envs/mujoco_tasks.py) on
-    top. Physics is this module's penalty-contact engine — honest labeling:
-    returns are NOT directly comparable to gym.make returns (the contact
-    model differs); use MJXEnv where mujoco-mjx is available."""
+    top. Physics is this module's engine with PGS constraint contacts by
+    default (``contact_model="penalty"`` selects the legacy spring model) —
+    honest labeling: returns are NOT directly comparable to gym.make returns
+    (the contact solve is approximate); use MJXEnv where mujoco-mjx is
+    available."""
 
     PLANAR_TASKS = ("Hopper-v4", "Walker2d-v4", "HalfCheetah-v4")
 

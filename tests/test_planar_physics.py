@@ -176,6 +176,63 @@ def test_floor_is_impenetrable_at_rest():
     assert bool(jnp.isfinite(qpos).all())
 
 
+def test_constraint_contacts_track_mj_step_hopping():
+    """The PGS constraint solver (contact_model='constraint', the default)
+    tracks full-contact mj_step on a scripted Hopper hopping trajectory to
+    within a few cm of torso height — the regime where the penalty model
+    measured ~2x worse (h RMSE 0.096 vs 0.047 over 100 control steps) and
+    where fused training was pinned at eval ~30."""
+    m = host_model("Hopper-v4")
+    spec = TASK_SPECS["Hopper-v4"]
+    d = mujoco.MjData(m)
+    qpos0 = np.array(m.qpos0)
+    d.qpos[:] = qpos0
+
+    def ctrl_fn(t):
+        return np.array([0.0, 0.0, -1.0 if (t % 20) < 8 else 1.0])
+
+    heights_mj = []
+    for t in range(100):
+        d.ctrl[:] = ctrl_fn(t)
+        for _ in range(spec.frame_skip):
+            mujoco.mj_step(m, d)
+        heights_mj.append(float(d.qpos[1]))
+
+    pm = f64_model("Hopper-v4", contact_model="constraint")
+    step = jax.jit(
+        lambda q, qd, c: planar.step_physics(pm, q, qd, c, spec.frame_skip)
+    )
+    q = jnp.asarray(qpos0)
+    qd = jnp.zeros(m.nv, jnp.float64)
+    heights = []
+    for t in range(100):
+        q, qd = step(q, qd, jnp.asarray(ctrl_fn(t), jnp.float64))
+        heights.append(float(q[1]))
+    rmse = float(
+        np.sqrt(np.mean((np.asarray(heights) - np.asarray(heights_mj)) ** 2))
+    )
+    assert rmse < 0.08, f"hopping torso-height RMSE vs mj_step: {rmse}"
+    # it actually leaves the ground (flight phase) like mj_step does
+    assert max(heights) > 1.28 and max(heights_mj) > 1.28
+    assert np.isfinite(np.asarray(qd)).all()
+
+
+def test_constraint_rest_clearance_is_tight():
+    """At rest under the constraint solver, penetration is Baumgarte-bounded
+    (~0.1 mm), vs up to 2 cm for the penalty spring."""
+    env = planar.PlanarMJCEnv("Hopper-v4")  # default = constraint
+    assert env.model.contact_model == "constraint"
+    state = env.reset(jax.random.PRNGKey(3))
+    step = jax.jit(env.step)
+    for _ in range(120):
+        state = step(state, jnp.zeros(env.action_dim))
+    qpos = state.physics[: env.nq]
+    pts = planar._contact_points(env.model, qpos)
+    lowest = float(jnp.min(pts[:, 1] - env.model.cp_radius))
+    assert lowest > -0.005
+    assert bool(jnp.isfinite(state.physics).all())
+
+
 def test_fused_collect_on_planar_env():
     from active_inference_diffusion_tpu.envs.jax_envs import (
         fused_collect,
