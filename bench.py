@@ -21,20 +21,25 @@ host has no GPU, so the baseline is torch-on-CPU; a GPU reference would cut
 the multiplier by roughly an order of magnitude. The reference publishes no
 numbers of its own — see BASELINE.md.
 
-The contract line prints IMMEDIATELY after the first flagship measurement
-(the driver runs this under a hard timeout; round 2 lost its artifact by
-emitting after the bf16/Pallas rows). Optional sections run afterwards,
-time-gated against BENCH_DEADLINE_SECS (default 900 s from process start),
-accumulating into ``bench_detail.json``. A watchdog prints a stale-cache
-fallback line and exits 0 at DEADLINE-60 if nothing has printed by then.
+The contract line prints TWICE: immediately after the first flagship
+measurement (timeout defense — round 2 lost its artifact by emitting after
+the bf16/Pallas rows) and again as the process's FINAL output line (the
+driver parses the LAST line of merged stdout+stderr — round 3 lost its
+artifact because a stderr log printed after the early emit). Optional
+sections run in between, time-gated against BENCH_DEADLINE_SECS (default
+900 s from process start), accumulating into ``bench_detail.json``; a
+hard-cap watchdog (BENCH_HARD_CAP_SECS, default 1250 s) forces the final
+re-emit if sections overrun.
 
-Secondary sections (all stderr + ``bench_detail.json``):
-- Pallas fused-sweep A/B at the flagship config.
+Secondary sections, in execution order (all stderr + ``bench_detail.json``):
+- Pallas fused-sweep A/B + train step at the flagship config.
+- Fused on-device collection env-steps/s (Pendulum, planar Hopper, 3D Ant).
+- Fused PIXEL collection (on-device rasterizer) and the AOT serving
+  artifact — these run BEFORE the scale section since round 3 dropped them.
 - Scale section at the humanoid_state.yaml config (latent 64, hidden 256,
-  K=50): XLA f32 vs bf16-matmul vs Pallas-fused sweep, train-step ms with
-  and without remat_score_network, and achieved TF/s from XLA's own cost
-  analysis — the MXU-saturation evidence for the design.
-- Fused on-device collection env-steps/s.
+  K=50): XLA f32 vs bf16-matmul vs Pallas-fused sweep, act-time b=32 A/B,
+  train-step ms with and without remat_score_network, and achieved TF/s
+  from XLA's own cost analysis — the MXU-saturation evidence for the design.
 """
 
 from __future__ import annotations
@@ -60,33 +65,59 @@ DETAIL_FILE = Path(__file__).parent / "bench_detail.json"
 # (c) the relay-recovery wait is capped to leave cold-compile headroom.
 T_START = time.time()
 DEADLINE = T_START + float(os.environ.get("BENCH_DEADLINE_SECS", "900"))
+# Absolute overrun bound: round 3 ran 1306 s under the driver with rc 0, so
+# the driver's own timeout is >= that; cap ourselves safely below it. At the
+# hard cap the watchdog re-emits the contract line and exits 0 so the LAST
+# output line is always the parseable JSON.
+HARD_CAP = T_START + float(os.environ.get("BENCH_HARD_CAP_SECS", "1250"))
 
 
 def remaining() -> float:
     return DEADLINE - time.time()
 
 
+def elapsed() -> float:
+    return time.time() - T_START
+
+
 def section_budget(name: str, est: float) -> bool:
     """True when `est` seconds of work still fit before the deadline."""
     if remaining() > est:
+        log(f"[t+{elapsed():.0f}s] {name}: starting (~{est:.0f}s budget)")
         return True
-    log(f"{name} skipped: {remaining():.0f}s left < ~{est:.0f}s needed "
-        "(headline JSON already emitted)")
+    log(f"[t+{elapsed():.0f}s] {name} skipped: {remaining():.0f}s left < "
+        f"~{est:.0f}s needed (headline JSON already emitted)")
     return False
 
 
 _CONTRACT_LOCK = threading.Lock()
 _CONTRACT_PRINTED = False
+_CONTRACT_PAYLOAD: dict | None = None
 
 
 def emit_contract(payload: dict) -> None:
-    """Print the ONE driver-contract JSON line, exactly once per process."""
-    global _CONTRACT_PRINTED
+    """Print the driver-contract JSON line once, early (timeout defense)."""
+    global _CONTRACT_PRINTED, _CONTRACT_PAYLOAD
     with _CONTRACT_LOCK:
         if _CONTRACT_PRINTED:
             return
+        _CONTRACT_PAYLOAD = payload
         print(json.dumps(payload), flush=True)
         _CONTRACT_PRINTED = True
+
+
+def emit_contract_final() -> None:
+    """Re-print the contract JSON as the process's FINAL output line.
+
+    The driver parses the LAST line of merged stdout+stderr. Round 3 had
+    rc=0 but parsed=null because the stderr "bench complete" log printed
+    after the early contract emit and became the last line (BENCH_r03.json).
+    The early emit stays as timeout defense; this terminal re-emit (same
+    payload, byte-identical) is what the driver actually reads."""
+    with _CONTRACT_LOCK:
+        if _CONTRACT_PAYLOAD is not None:
+            sys.stderr.flush()
+            print(json.dumps(_CONTRACT_PAYLOAD), flush=True)
 
 
 def _stale_fallback_payload(reason: str) -> dict:
@@ -127,24 +158,31 @@ def _stale_fallback_payload(reason: str) -> dict:
 
 
 def start_watchdog() -> None:
-    """At DEADLINE-60, if the contract line has not printed, print the stale
-    fallback and hard-exit 0 so the driver parses SOMETHING (round-2 lesson:
-    rc 124 with no JSON line is a lost round)."""
+    """Two-stage watchdog. At DEADLINE-60: if no contract line has printed,
+    print the stale fallback and exit 0 (round-2 lesson: rc 124 with no JSON
+    line is a lost round). If it has printed, keep running sections until
+    HARD_CAP, then force the terminal re-emit and exit 0 so the last output
+    line is the JSON even when optional sections overrun (round-3 lesson)."""
 
     def _watch():
         time.sleep(max(0.0, DEADLINE - 60 - time.time()))
         with _CONTRACT_LOCK:
-            if _CONTRACT_PRINTED:
-                return
-        log("watchdog: deadline imminent with no contract line; emitting "
-            "stale-cache fallback and exiting")
-        emit_contract(
-            _stale_fallback_payload(
-                "live run hit the self-deadline before the flagship "
-                "measurement finished (slow relay recovery / cold compile)"
+            printed = _CONTRACT_PRINTED
+        if not printed:
+            log("watchdog: deadline imminent with no contract line; emitting "
+                "stale-cache fallback and exiting")
+            emit_contract(
+                _stale_fallback_payload(
+                    "live run hit the self-deadline before the flagship "
+                    "measurement finished (slow relay recovery / cold compile)"
+                )
             )
-        )
-        sys.stdout.flush()
+            sys.stdout.flush()
+            os._exit(0)
+        time.sleep(max(0.0, HARD_CAP - time.time()))
+        log(f"watchdog: hard cap at t+{elapsed():.0f}s; re-emitting contract "
+            "and exiting (remaining sections dropped)")
+        emit_contract_final()
         os._exit(0)
 
     threading.Thread(target=_watch, daemon=True).start()
@@ -395,142 +433,6 @@ def main():
         pass
     except Exception as e:
         log(f"flagship train_step skipped: {type(e).__name__}: {e}")
-
-    # ================= scale section: humanoid config ==================
-    # humanoid_state.yaml scale (latent 64, hidden 256, K=50): the config
-    # where weight re-streaming dominates the XLA scan and the Pallas
-    # fused kernel must prove out (VERDICT r1 #2/#6).
-    run_scale = dev.platform == "tpu" or _os.environ.get("BENCH_SCALE")
-    try:
-        if not run_scale:
-            raise RuntimeError("scale section is TPU-only (BENCH_SCALE=1 forces)")
-        if not section_budget("humanoid-scale section", 300):
-            raise RuntimeError("deadline")
-        h_agent = make_agent(64, 256, 50, obs_dim=376, act_dim=17)
-        h_params = h_agent.core.init_params(jax.random.PRNGKey(10))
-        h_obs = jax.random.normal(jax.random.PRNGKey(11), (BATCH, 376))
-
-        # analytic sweep FLOPs: K score-net forwards over the batch
-        def sweep_flops(hidden, latent, layers, k_steps, b):
-            per_block = 14 * hidden * hidden  # mod1+v+o+mod2+f1(4h)+f2(4h)
-            head = latent * hidden + hidden * 2 * hidden + hidden * (hidden // 2) + (hidden // 2) * latent
-            return 2 * b * k_steps * (layers * per_block + head)
-
-        hf = sweep_flops(256, 64, h_agent.config.score_num_layers, 50, BATCH)
-        sc = {}
-        # write-through: a mid-section kill (driver timeout, tunnel wedge)
-        # keeps the rows measured so far
-        detail["humanoid_scale"] = sc
-        res = bench_sweep(
-            h_agent, h_params, h_obs, key,
-            "humanoid-scale sweep (XLA scan, f32)", flops=hf,
-        )
-        if res:
-            sc["xla_f32_sweeps_per_sec"] = round(res[0], 1)
-            sc["xla_f32_tf_per_sec"] = round(hf * res[0] / 1e12, 2)
-            key = res[2]
-            dump_detail()
-        with jax.default_matmul_precision("bfloat16"):
-            res = bench_sweep(
-                h_agent, h_params, h_obs, key,
-                "humanoid-scale sweep (XLA scan, bf16 matmul)", flops=hf,
-            )
-        if res:
-            sc["xla_bf16_sweeps_per_sec"] = round(res[0], 1)
-            key = res[2]
-            dump_detail()
-        if dev.platform == "tpu":
-            h_agent.config.tpu.compute_dtype = "bfloat16"
-            res = bench_sweep(
-                h_agent, h_params, h_obs, key,
-                "humanoid-scale sweep (Pallas fused, bf16 weights)",
-                pallas=True, flops=hf,
-            )
-            if res:
-                sc["pallas_bf16_sweeps_per_sec"] = round(res[0], 1)
-                base = sc.get("xla_f32_sweeps_per_sec")
-                if base:
-                    sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
-                    log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
-                key = res[2]
-                dump_detail()
-            h_agent.config.tpu.compute_dtype = "float32"
-
-        # act-time sweep A/B: host-env collection acts on num_parallel_envs
-        # rows (32 here). This is the measured config where the fused Pallas
-        # kernel clearly beats the XLA scan (1.22x on v5e, docs/PERF.md) —
-        # the scan pays per-step overhead + weight re-streaming that the
-        # single kernel amortizes.
-        if dev.platform == "tpu":
-            a_obs = h_obs[:32]
-            res = bench_sweep(
-                h_agent, h_params, a_obs, key,
-                "act-time sweep b=32 (XLA scan, f32)",
-            )
-            if res:
-                sc["act_xla_ms"] = round(1e3 / res[0], 3)
-                key = res[2]
-            h_agent.config.tpu.compute_dtype = "bfloat16"
-            res = bench_sweep(
-                h_agent, h_params, a_obs, key,
-                "act-time sweep b=32 (Pallas fused, bf16 weights)",
-                pallas=True,
-            )
-            if res:
-                sc["act_pallas_ms"] = round(1e3 / res[0], 3)
-                if "act_xla_ms" in sc:
-                    sc["act_pallas_vs_xla"] = round(
-                        sc["act_xla_ms"] / sc["act_pallas_ms"], 2
-                    )
-                    log(
-                        f"  act-time pallas/XLA ratio: "
-                        f"{sc['act_pallas_vs_xla']:.2f}x"
-                    )
-                key = res[2]
-            h_agent.config.tpu.compute_dtype = "float32"
-
-        # train step at scale, with and without remat
-        if not section_budget("humanoid-scale train_step rows", 180):
-            raise StopIteration  # keep the sweep rows already in `sc`
-        h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
-        hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
-        h_batch = {
-            "observations": jax.random.normal(hkeys[0], (BATCH, 376)),
-            "actions": jax.random.normal(hkeys[1], (BATCH, 17)),
-            "rewards": jax.random.normal(hkeys[2], (BATCH,)),
-            "next_observations": jax.random.normal(hkeys[3], (BATCH, 376)),
-            "dones": jax.random.bernoulli(hkeys[4], 0.05, (BATCH,)),
-        }
-        for remat in (False, True):
-            h_agent.config.tpu.remat_score_network = remat
-            # fresh jit wrapper: the flag is a closure constant, the cached
-            # trace would not see it change
-            h_agent._train_step = jax.jit(h_agent._train_step_impl)
-            label = f"humanoid-scale train_step (remat={remat})"
-            try:
-                t0 = time.perf_counter()
-                h_state2, m = h_agent.train_step(h_state, h_batch)
-                jax.block_until_ready(h_state2.params)
-                c = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                for _ in range(5):
-                    h_state2, m = h_agent.train_step(h_state, h_batch)
-                jax.block_until_ready(h_state2.params)
-                ms = 1e3 * (time.perf_counter() - t0) / 5
-                log(f"{label}: {ms:.1f} ms (compile {c:.1f}s)")
-                sc[f"train_step_ms_remat_{remat}"] = round(ms, 1)
-                dump_detail()
-            except Exception as e:
-                log(f"{label}: failed ({type(e).__name__}: {e})")
-        h_agent.config.tpu.remat_score_network = False
-        detail["humanoid_scale"] = sc
-        dump_detail()
-    except StopIteration:
-        detail["humanoid_scale"] = sc  # keep the sweep rows measured so far
-        dump_detail()
-    except Exception as e:
-        log(f"humanoid-scale section skipped: {type(e).__name__}: {e}")
-
 
     def best_rep_rate(run_rep, key, reps, steps_per_rep):
         """Best-of-reps steps/s with PER-REP timing. Aggregating the reps
@@ -899,6 +801,142 @@ def main():
     except Exception as e:
         log(f"serving bench skipped: {type(e).__name__}: {e}")
 
+    # ================= scale section: humanoid config ==================
+    # humanoid_state.yaml scale (latent 64, hidden 256, K=50): the config
+    # where weight re-streaming dominates the XLA scan and the Pallas
+    # fused kernel must prove out (VERDICT r1 #2/#6).
+    run_scale = dev.platform == "tpu" or _os.environ.get("BENCH_SCALE")
+    try:
+        if not run_scale:
+            raise RuntimeError("scale section is TPU-only (BENCH_SCALE=1 forces)")
+        if not section_budget("humanoid-scale section", 240):
+            raise RuntimeError("deadline")
+        h_agent = make_agent(64, 256, 50, obs_dim=376, act_dim=17)
+        h_params = h_agent.core.init_params(jax.random.PRNGKey(10))
+        h_obs = jax.random.normal(jax.random.PRNGKey(11), (BATCH, 376))
+
+        # analytic sweep FLOPs: K score-net forwards over the batch
+        def sweep_flops(hidden, latent, layers, k_steps, b):
+            per_block = 14 * hidden * hidden  # mod1+v+o+mod2+f1(4h)+f2(4h)
+            head = latent * hidden + hidden * 2 * hidden + hidden * (hidden // 2) + (hidden // 2) * latent
+            return 2 * b * k_steps * (layers * per_block + head)
+
+        hf = sweep_flops(256, 64, h_agent.config.score_num_layers, 50, BATCH)
+        sc = {}
+        # write-through: a mid-section kill (driver timeout, tunnel wedge)
+        # keeps the rows measured so far
+        detail["humanoid_scale"] = sc
+        res = bench_sweep(
+            h_agent, h_params, h_obs, key,
+            "humanoid-scale sweep (XLA scan, f32)", flops=hf,
+        )
+        if res:
+            sc["xla_f32_sweeps_per_sec"] = round(res[0], 1)
+            sc["xla_f32_tf_per_sec"] = round(hf * res[0] / 1e12, 2)
+            key = res[2]
+            dump_detail()
+        with jax.default_matmul_precision("bfloat16"):
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (XLA scan, bf16 matmul)", flops=hf,
+            )
+        if res:
+            sc["xla_bf16_sweeps_per_sec"] = round(res[0], 1)
+            key = res[2]
+            dump_detail()
+        if dev.platform == "tpu":
+            h_agent.config.tpu.compute_dtype = "bfloat16"
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (Pallas fused, bf16 weights)",
+                pallas=True, flops=hf,
+            )
+            if res:
+                sc["pallas_bf16_sweeps_per_sec"] = round(res[0], 1)
+                base = sc.get("xla_f32_sweeps_per_sec")
+                if base:
+                    sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
+                    log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
+                key = res[2]
+                dump_detail()
+            h_agent.config.tpu.compute_dtype = "float32"
+
+        # act-time sweep A/B: host-env collection acts on num_parallel_envs
+        # rows (32 here). This is the measured config where the fused Pallas
+        # kernel clearly beats the XLA scan (1.22x on v5e, docs/PERF.md) —
+        # the scan pays per-step overhead + weight re-streaming that the
+        # single kernel amortizes.
+        if dev.platform == "tpu":
+            a_obs = h_obs[:32]
+            res = bench_sweep(
+                h_agent, h_params, a_obs, key,
+                "act-time sweep b=32 (XLA scan, f32)",
+            )
+            if res:
+                sc["act_xla_ms"] = round(1e3 / res[0], 3)
+                key = res[2]
+            h_agent.config.tpu.compute_dtype = "bfloat16"
+            res = bench_sweep(
+                h_agent, h_params, a_obs, key,
+                "act-time sweep b=32 (Pallas fused, bf16 weights)",
+                pallas=True,
+            )
+            if res:
+                sc["act_pallas_ms"] = round(1e3 / res[0], 3)
+                if "act_xla_ms" in sc:
+                    sc["act_pallas_vs_xla"] = round(
+                        sc["act_xla_ms"] / sc["act_pallas_ms"], 2
+                    )
+                    log(
+                        f"  act-time pallas/XLA ratio: "
+                        f"{sc['act_pallas_vs_xla']:.2f}x"
+                    )
+                key = res[2]
+            h_agent.config.tpu.compute_dtype = "float32"
+
+        # train step at scale, with and without remat
+        if not section_budget("humanoid-scale train_step rows", 180):
+            raise StopIteration  # keep the sweep rows already in `sc`
+        h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
+        hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
+        h_batch = {
+            "observations": jax.random.normal(hkeys[0], (BATCH, 376)),
+            "actions": jax.random.normal(hkeys[1], (BATCH, 17)),
+            "rewards": jax.random.normal(hkeys[2], (BATCH,)),
+            "next_observations": jax.random.normal(hkeys[3], (BATCH, 376)),
+            "dones": jax.random.bernoulli(hkeys[4], 0.05, (BATCH,)),
+        }
+        for remat in (False, True):
+            h_agent.config.tpu.remat_score_network = remat
+            # fresh jit wrapper: the flag is a closure constant, the cached
+            # trace would not see it change
+            h_agent._train_step = jax.jit(h_agent._train_step_impl)
+            label = f"humanoid-scale train_step (remat={remat})"
+            try:
+                t0 = time.perf_counter()
+                h_state2, m = h_agent.train_step(h_state, h_batch)
+                jax.block_until_ready(h_state2.params)
+                c = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    h_state2, m = h_agent.train_step(h_state, h_batch)
+                jax.block_until_ready(h_state2.params)
+                ms = 1e3 * (time.perf_counter() - t0) / 5
+                log(f"{label}: {ms:.1f} ms (compile {c:.1f}s)")
+                sc[f"train_step_ms_remat_{remat}"] = round(ms, 1)
+                dump_detail()
+            except Exception as e:
+                log(f"{label}: failed ({type(e).__name__}: {e})")
+        h_agent.config.tpu.remat_score_network = False
+        detail["humanoid_scale"] = sc
+        dump_detail()
+    except StopIteration:
+        detail["humanoid_scale"] = sc  # keep the sweep rows measured so far
+        dump_detail()
+    except Exception as e:
+        log(f"humanoid-scale section skipped: {type(e).__name__}: {e}")
+
+
     # --- done ----------------------------------------------------------
     dump_detail()
     log(
@@ -906,6 +944,9 @@ def main():
         f"({remaining():.0f}s of deadline unspent); full detail in "
         f"{DETAIL_FILE.name}"
     )
+    # MUST be the last output of the process: the driver parses the final
+    # line of merged stdout+stderr (see emit_contract_final).
+    emit_contract_final()
 
 
 def other_tpu_job_running() -> bool:
