@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import warnings
 from pathlib import Path
 from typing import Any, Dict, Tuple
 
@@ -225,7 +226,17 @@ def load_checkpoint(
             replay_abstract = jax.tree_util.tree_map(
                 ocp.utils.to_shape_dtype_struct, replay_template
             )
-            replay_state = ckptr.restore(path / "replay", replay_abstract)
+            try:
+                replay_state = ckptr.restore(path / "replay", replay_abstract)
+            except Exception as e:
+                # A buffer saved under a different --buffer-size / obs shape
+                # is not worth failing the whole resume over — the caller
+                # falls back to its replay-refill warmup.
+                warnings.warn(
+                    f"checkpointed replay buffer does not match the current "
+                    f"template ({type(e).__name__}); resuming with a fresh "
+                    f"buffer"
+                )
     meta: Dict[str, Any] = {}
     meta_file = path / "meta.json"
     if meta_file.exists():

@@ -213,8 +213,24 @@ def main():
                         help="Orbax checkpoint (dir, or dir/best) to restore "
                              "the train state from before training; best_eval "
                              "and the step counter continue from the "
-                             "checkpoint meta. The replay buffer starts fresh "
-                             "— the fused collector refills it in seconds.")
+                             "checkpoint meta. A replay buffer saved with "
+                             "--save-replay is restored too; otherwise the "
+                             "buffer refills for --resume-refill-steps env "
+                             "steps (no updates) before training continues.")
+    parser.add_argument("--save-replay", action="store_true",
+                        help="checkpoint the device replay buffer alongside "
+                             "'best' so --resume continues from the exact "
+                             "data distribution (round-3 forensics: resumes "
+                             "with a fresh buffer never re-attained the "
+                             "checkpointed eval). Costs a device->host copy "
+                             "of the whole buffer per improvement — size it "
+                             "via --buffer-size.")
+    parser.add_argument("--resume-refill-steps", type=int, default=8192,
+                        help="on --resume without a saved replay buffer, "
+                             "collect this many env steps with the resumed "
+                             "policy (no updates) before training, so the "
+                             "first updates don't overfit a near-empty "
+                             "buffer (0 = off)")
     parser.add_argument("--video-every", type=int, default=0,
                         help="every N iterations, roll one deterministic "
                              "eval episode and rasterize it ON DEVICE into "
@@ -269,21 +285,27 @@ def main():
         env.observation_dim, env.action_dim, config, training_config
     )
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
-    resume_meta = {}
-    if args.resume:
-        from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
-
-        state, resume_meta = load_checkpoint(args.resume, state)
-        print(
-            f"resumed from {args.resume}: total_steps="
-            f"{resume_meta.get('total_steps')} "
-            f"eval_return={resume_meta.get('eval_return')}"
-        )
-
     replay = replay_init(
         training_config.buffer_size, (env.observation_dim,), env.action_dim
     )
+    resume_meta = {}
+    restored_replay = False
+    if args.resume:
+        from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
 
+        state, resume_meta = load_checkpoint(
+            args.resume, state, replay_template=replay
+        )
+        saved_replay = resume_meta.pop("replay_state", None)
+        if saved_replay is not None:
+            replay = saved_replay
+            restored_replay = True
+        print(
+            f"resumed from {args.resume}: total_steps="
+            f"{resume_meta.get('total_steps')} "
+            f"eval_return={resume_meta.get('eval_return')} "
+            f"replay={'restored (size %d)' % int(replay.size) if restored_replay else 'fresh'}"
+        )
 
     rollout_policy = make_rollout_policy(
         agent.core, env,
@@ -368,6 +390,22 @@ def main():
         warm_state = init_warm_state(wkey, args.num_envs, config.latent_dim)
     total_steps = int(resume_meta.get("total_steps", 0))
 
+    if args.resume and not restored_replay and args.resume_refill_steps:
+        # Round-3 forensics: the Standup3D resume from its 95k checkpoint
+        # oscillated 38-75k for 307k steps and never re-touched the peak —
+        # params resumed but the first updates overfit a near-empty buffer.
+        # Refill with the RESUMED policy (no updates) so training continues
+        # on-distribution; a --save-replay checkpoint skips this entirely.
+        target = min(args.resume_refill_steps, training_config.buffer_size)
+        print(f"resume refill: collecting ~{target} env steps (no updates)")
+        while int(replay.size) < target:
+            key, ckey = jax.random.split(key)
+            replay, env_states, warm_state, _ = collect_and_store(
+                agent._acting_params(state), replay, env_states, warm_state,
+                ckey,
+            )
+            total_steps += args.num_envs * args.steps_per_iter
+
     for it in range(args.iterations):
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
@@ -412,6 +450,7 @@ def main():
                     args.checkpoint_dir, state, step=total_steps,
                     config=config, training_config=training_config,
                     keep_latest_alias=False, name="best",
+                    replay_state=replay if args.save_replay else None,
                     extra_meta={"eval_return": best_eval, "env": env_name},
                 )
                 eval_str += " [best saved]"

@@ -367,6 +367,17 @@ def test_checkpoint_replay_roundtrip(tmp_path):
         np.asarray(replay.state.observations),
     )
 
+    # a template sized differently (a --buffer-size change between runs)
+    # degrades to a fresh buffer with a warning, not a failed resume
+    import warnings as _warnings
+
+    other = DeviceReplayBuffer(32, (5,), 2)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        _, meta2 = load_checkpoint(path, template, replay_template=other.state)
+    assert "replay_state" not in meta2
+    assert any("replay" in str(x.message) for x in w)
+
     # checkpoints without a replay restore cleanly too
     path2 = save_checkpoint(str(tmp_path / "ck2"), state, step=8)
     _, meta2 = load_checkpoint(path2, template, replay_template=fresh_replay.state)
