@@ -442,6 +442,45 @@ def fused_eval(
     return jnp.mean(total)
 
 
+def add_action_noise(
+    env: JaxEnv, action: jnp.ndarray, key: jax.Array, eps
+) -> jnp.ndarray:
+    """Host-collector exploration-noise semantics on a fused-rollout action:
+    ``action + N(0,1) * eps * half_range``, clipped to the env bounds
+    (``DiffusionStateAgent._act_impl``, agents/state_agent.py:109-118; the
+    reference only ever collects through this noisy path,
+    reference base_agent.py:173-179). ``eps`` is in [-1,1]-action units —
+    scaled by the env's half-range so asymmetric actuator ranges get
+    proportional noise. ``eps`` may be a traced scalar, so one compiled
+    collect program serves an entire decay schedule."""
+    low = jnp.asarray(env.action_low, jnp.float32)
+    high = jnp.asarray(env.action_high, jnp.float32)
+    half = (high - low) * 0.5
+    noise = jax.random.normal(key, action.shape, action.dtype)
+    return jnp.clip(action + noise * (eps * half), low, high)
+
+
+def with_exploration_noise(
+    policy_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+    env: JaxEnv,
+    eps,
+) -> Callable[[jnp.ndarray, jax.Array], jnp.ndarray]:
+    """Wrap a stateless rollout policy with exploration noise for
+    ``fused_collect``. Round-4 forensics motivated this: the fused path
+    previously explored ONLY through the policy's own stochasticity, which
+    ``auto_entropy`` anneals toward zero (entropy_scale reached 1e-6 in the
+    512k fused Hopper run) — while every host-path success (Hopper 255-322)
+    collected with eps=0.2 Gaussian action noise. Hop-class behaviors that
+    need sustained non-greedy action sequences are undiscoverable without
+    it."""
+
+    def noisy(obs, key):
+        pk, nk = jax.random.split(key)
+        return add_action_noise(env, policy_fn(obs, pk), nk, eps)
+
+    return noisy
+
+
 def flatten_transitions(t: Transitions) -> Transitions:
     """(T, N, ...) -> (T*N, ...)."""
     return Transitions(

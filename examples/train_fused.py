@@ -257,6 +257,7 @@ def main():
         replay_sample,
     )
     from active_inference_diffusion_tpu.envs.jax_envs import (
+        add_action_noise,
         flatten_transitions,
         fused_collect,
         fused_collect_stateful,
@@ -265,6 +266,7 @@ def main():
         make_jax_env,
         make_rollout_policy,
         make_warm_rollout_policy,
+        with_exploration_noise,
     )
     from active_inference_diffusion_tpu.utils.logger import Logger
 
@@ -343,22 +345,52 @@ def main():
         video_render = make_episode_renderer(env_name, eval_rollout)
         os.makedirs(args.video_dir, exist_ok=True)
 
-    # NOTE: exploration on the fused path comes from the policy's own
-    # stochastic sampling (sample_action); TrainingConfig.exploration_noise
-    # is a host-collector knob and has no effect here.
+    # Exploration: the policy's own stochastic sampling, PLUS (when the
+    # YAML's ``training: exploration_noise`` is > 0) host-collector-style
+    # Gaussian action noise with the host's decay profile. The fused path
+    # previously had no such noise; round-4 Hopper forensics measured the
+    # consequence (auto_entropy anneals the policy's own stochasticity to
+    # ~1e-6 and hop discovery stops — DEVIATIONS.md). ``explore_eps`` is a
+    # traced scalar so the decay schedule reuses one compiled program.
+    explore_enabled = training_config.exploration_noise > 0.0
+
+    def exploration_eps(steps: int) -> float:
+        """Host-equivalent eps(t): the host loop decays once per collect
+        iteration of ``num_parallel_envs`` env steps (cli.py:348), so the
+        same YAML gives the same schedule in env-step terms."""
+        tc = training_config
+        if not explore_enabled:
+            return 0.0
+        unit = max(1, tc.num_parallel_envs)
+        return max(
+            tc.min_exploration,
+            tc.exploration_noise * tc.exploration_decay ** (steps / unit),
+        )
+
     @jax.jit
-    def collect_and_store(params, replay, env_states, warm_state, key):
+    def collect_and_store(params, replay, env_states, warm_state, key,
+                          explore_eps):
         if warm_policy is not None:
+            def warm_fn(obs, k, ps, rm):
+                if explore_enabled:
+                    k, nk = jax.random.split(k)
+                a, ps = warm_policy(params, obs, k, ps, rm)
+                if explore_enabled:
+                    a = add_action_noise(env, a, nk, explore_eps)
+                return a, ps
+
             transitions, env_states, warm_state = fused_collect_stateful(
-                env,
-                lambda obs, k, ps, rm: warm_policy(params, obs, k, ps, rm),
+                env, warm_fn,
                 key, args.num_envs, args.steps_per_iter,
                 warm_state, env_states=env_states,
             )
         else:
+            pol = lambda obs, k: rollout_policy(params, obs, k)
+            if explore_enabled:
+                pol = with_exploration_noise(pol, env, explore_eps)
             transitions, env_states = fused_collect(
                 env,
-                lambda obs, k: rollout_policy(params, obs, k),
+                pol,
                 key,
                 args.num_envs,
                 args.steps_per_iter,
@@ -402,15 +434,17 @@ def main():
             key, ckey = jax.random.split(key)
             replay, env_states, warm_state, _ = collect_and_store(
                 agent._acting_params(state), replay, env_states, warm_state,
-                ckey,
+                ckey, jnp.float32(exploration_eps(total_steps)),
             )
             total_steps += args.num_envs * args.steps_per_iter
 
     for it in range(args.iterations):
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
+        eps_now = exploration_eps(total_steps)
         replay, env_states, warm_state, mean_reward = collect_and_store(
-            agent._acting_params(state), replay, env_states, warm_state, ckey
+            agent._acting_params(state), replay, env_states, warm_state, ckey,
+            jnp.float32(eps_now),
         )
         total_steps += args.num_envs * args.steps_per_iter
 
@@ -430,6 +464,7 @@ def main():
 
         log = {
             "fused/mean_step_reward": float(mean_reward),
+            **({"fused/exploration_eps": eps_now} if explore_enabled else {}),
             "fused/env_steps_per_sec": args.num_envs * args.steps_per_iter / dt,
             **{k: float(v) for k, v in metrics.items()},
         }

@@ -470,3 +470,39 @@ def test_scale_action_affine_and_symmetric():
     np.testing.assert_allclose(np.asarray(a2.scale_action(jnp.array([-1.0]))), [0.0])
     np.testing.assert_allclose(np.asarray(a2.scale_action(jnp.array([0.0]))), [1.5])
     np.testing.assert_allclose(np.asarray(a2.scale_action(jnp.array([1.0]))), [3.0])
+
+
+def test_exploration_noise_wrapper():
+    """with_exploration_noise: eps=0 is an exact no-op on the action values;
+    eps>0 perturbs while respecting env action bounds; eps is traceable (one
+    compiled program serves the whole decay schedule)."""
+    from active_inference_diffusion_tpu.envs.jax_envs import (
+        add_action_noise,
+        with_exploration_noise,
+    )
+
+    env = make_jax_env("Pendulum-v1")  # asymmetric-range check: bounds ±2
+    obs = jnp.zeros((8, env.observation_dim))
+    base = lambda o, k: jnp.tanh(jnp.sum(o, -1, keepdims=True)) * 2.0
+
+    key = jax.random.PRNGKey(0)
+    a0 = with_exploration_noise(base, env, jnp.float32(0.0))(obs, key)
+    pk, _ = jax.random.split(key)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(base(obs, pk)))
+
+    fn = jax.jit(lambda eps, k: with_exploration_noise(base, env, eps)(obs, k))
+    a_lo = fn(jnp.float32(0.05), key)
+    a_hi = fn(jnp.float32(0.5), key)  # same program, traced eps
+    assert not np.allclose(np.asarray(a_lo), np.asarray(a_hi))
+    for a in (a_lo, a_hi):
+        assert float(jnp.max(a)) <= env.action_high + 1e-6
+        assert float(jnp.min(a)) >= env.action_low - 1e-6
+    # noise scales with the env half-range (Pendulum: 2.0): at eps=0.5 the
+    # spread should clearly exceed eps alone
+    spread = float(jnp.std(a_hi - base(obs, pk)))
+    assert spread > 0.3
+
+    # direct helper: zero eps exact, dtype preserved
+    a = jnp.ones((4, 1), jnp.float32) * 1.5
+    out = add_action_noise(env, a, key, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a))
