@@ -216,10 +216,31 @@ def main():
     def policy_fn_builder(params):
         return lambda obs, key: rollout_policy(params, obs, key)
 
+    # Same exploration-noise support as train_fused.py (host eps schedule;
+    # see jax_envs.with_exploration_noise): honored when the YAML sets
+    # ``training: exploration_noise`` > 0, exact no-op otherwise.
+    explore_enabled = training_config.exploration_noise > 0.0
+
+    def exploration_eps(steps: int) -> float:
+        tc = training_config
+        if not explore_enabled:
+            return 0.0
+        unit = max(1, tc.num_parallel_envs)
+        return max(
+            tc.min_exploration,
+            tc.exploration_noise * tc.exploration_decay ** (steps / unit),
+        )
+
     @jax.jit
-    def collect_and_store(params, replay_state, env_states, key):
+    def collect_and_store(params, replay_state, env_states, key, explore_eps):
+        pol = policy_fn_builder(params)
+        if explore_enabled:
+            from active_inference_diffusion_tpu.envs.jax_envs import (
+                with_exploration_noise,
+            )
+            pol = with_exploration_noise(pol, env, explore_eps)
         transitions, env_states = fused_collect(
-            env, policy_fn_builder(params), key,
+            env, pol, key,
             args.num_envs, args.steps_per_iter, env_states=env_states,
         )
         flat = flatten_transitions(transitions)
@@ -248,8 +269,9 @@ def main():
     for it in range(args.iterations):
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
+        eps_now = exploration_eps(total_steps)
         replay.state, env_states, mean_reward = collect_and_store(
-            state.params, replay.state, env_states, ckey
+            state.params, replay.state, env_states, ckey, jnp.float32(eps_now)
         )
         total_steps += args.num_envs * args.steps_per_iter
 
@@ -269,6 +291,7 @@ def main():
         logger.log(
             {
                 "fused/mean_step_reward": float(mean_reward),
+                **({"fused/exploration_eps": eps_now} if explore_enabled else {}),
                 "fused/env_steps_per_sec": steps_s,
                 # full per-loss metrics (the state trainer logs these too;
                 # without them a flat eval curve cannot be diagnosed post hoc)
