@@ -129,13 +129,17 @@ class SemanticsConfig:
     # -eps / sigma, dividing by the VARIANCE, not the true score
     # -eps / sqrt(sigma) (reference core/active_inference.py:594-595;
     # continuous_q_sample defines z_t = sqrt(alpha) z0 + sqrt(sigma) eps, so
-    # grad_z log q(z_t|z0) = -eps/sqrt(sigma)). Unlike the sign bugs above
-    # this mis-scaling CO-ADAPTS with the rest of the system — the reverse
-    # sweep consumes the same network the objective trains, and every tuned
-    # preset/result in this repo (HalfCheetah +4486 etc.) was obtained under
-    # it — so corrected mode KEEPS the reference scaling unless this is set
-    # to "standard" (train toward the true score; untested at preset scale).
-    # Faithful mode always uses the reference scaling. See DEVIATIONS.md.
+    # grad_z log q(z_t|z0) = -eps/sqrt(sigma)). The mis-scaling CO-ADAPTS
+    # with the rest of the system (the reverse sweep consumes the same
+    # network the objective trains), so rounds 1-3 kept the reference
+    # scaling as the corrected-mode default pending preset-scale evidence.
+    # That evidence now exists twice — HalfCheetahPlanar fused (row-11 A/B,
+    # commit 656fb3c: preset pace) and Walker2dPlanar fused (round 4:
+    # stable climb to ~480 at 512k on the constraint engine,
+    # docs/runs/fused_Walker2dPlanar_std.jsonl) — so corrected mode now
+    # DEFAULTS to the true score ("standard"); set "reference" to reproduce
+    # the historical runs. Faithful mode always uses the reference scaling.
+    # See DEVIATIONS.md row 11.
     score_target_convention: Optional[str] = None  # None|"reference"|"standard"
 
     def __post_init__(self):
@@ -158,7 +162,7 @@ class SemanticsConfig:
         reference's -eps/variance."""
         if self.mode == "faithful":
             return False
-        return (self.score_target_convention or "reference") == "standard"
+        return (self.score_target_convention or "standard") == "standard"
 
     @property
     def pragmatic_sign(self) -> float:

@@ -433,16 +433,19 @@ def test_precision_init_reaches_free_energy_state():
 def test_score_target_convention_gate():
     from active_inference_diffusion_tpu.configs.config import SemanticsConfig
 
-    assert SemanticsConfig().score_target_uses_std is False  # default: reference
+    # Round-4 default flip (two preset-scale A/Bs: HalfCheetahPlanar row-11
+    # + Walker2dPlanar std run): corrected mode now trains the TRUE score.
+    assert SemanticsConfig().score_target_uses_std is True
     assert SemanticsConfig(
-        score_target_convention="standard"
-    ).score_target_uses_std is True
+        score_target_convention="reference"
+    ).score_target_uses_std is False
     assert SemanticsConfig(mode="faithful").score_target_uses_std is False
     with pytest.raises(ValueError, match="faithful"):
         SemanticsConfig(mode="faithful", score_target_convention="standard")
 
     # The convention changes the training objective's value.
     agent_ref = make_agent()
+    agent_ref.config.semantics.score_target_convention = "reference"
     agent_std = make_agent()
     agent_std.config.semantics.score_target_convention = "standard"
     params = agent_ref.core.init_params(jax.random.PRNGKey(0))
