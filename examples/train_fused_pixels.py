@@ -133,9 +133,23 @@ def main():
     parser.add_argument("--resume", default=None,
                         help="Orbax checkpoint (dir, or dir/best) to restore "
                              "the train state from; best_eval and the step "
-                             "counter continue from the checkpoint meta. The "
-                             "replay starts fresh (device collection refills "
-                             "it in seconds).")
+                             "counter continue from the checkpoint meta. A "
+                             "replay saved with --save-replay is restored "
+                             "too; otherwise the buffer refills for "
+                             "--resume-refill-steps env steps (no updates) "
+                             "with the resumed policy before training.")
+    parser.add_argument("--save-replay", action="store_true",
+                        help="checkpoint the replay buffer alongside the "
+                             "train state in 'best' saves. NOTE: a pixel "
+                             "replay is large (30k cap at 84x84 stack-3 "
+                             "uint8 is ~3.8 GB) — each improved-eval save "
+                             "pays that device->disk transfer.")
+    parser.add_argument("--resume-refill-steps", type=int, default=8192,
+                        help="on --resume without a saved replay, collect "
+                             "this many env steps (no updates) before "
+                             "training so the first updates do not overfit "
+                             "a near-empty buffer (round-3 Standup3D resume "
+                             "forensics, DEVIATIONS.md)")
     parser.add_argument("--config", default=None,
                         help="YAML config (same schema as train.py / "
                              "train_fused.py). When given it is the base for "
@@ -181,23 +195,31 @@ def main():
         pixel_config=pixel_config,
     )
     state = agent.init_train_state(jax.random.PRNGKey(args.seed))
+    replay = DeviceReplayBuffer(
+        training_config.buffer_size, env.obs_shape, env.action_dim,
+        obs_dtype=jnp.uint8,
+    )
     resume_meta = {}
+    restored_replay = False
     if args.resume:
         from active_inference_diffusion_tpu.utils.checkpoints import load_checkpoint
 
-        state, resume_meta = load_checkpoint(args.resume, state)
+        state, resume_meta = load_checkpoint(
+            args.resume, state, replay_template=replay.state
+        )
+        saved_replay = resume_meta.pop("replay_state", None)
+        if saved_replay is not None:
+            replay.state = saved_replay
+            restored_replay = True
         _prev_eval = resume_meta.get("eval_return")
         if _prev_eval is not None:
             best_eval = float(_prev_eval)
         print(
             f"resumed from {args.resume}: total_steps="
-            f"{resume_meta.get('total_steps')} eval_return={_prev_eval}"
+            f"{resume_meta.get('total_steps')} eval_return={_prev_eval} "
+            f"replay="
+            f"{'restored (size %d)' % int(replay.state.size) if restored_replay else 'fresh'}"
         )
-
-    replay = DeviceReplayBuffer(
-        training_config.buffer_size, env.obs_shape, env.action_dim,
-        obs_dtype=jnp.uint8,
-    )
 
 
     def encode(params, obs, key):
@@ -266,6 +288,21 @@ def main():
     env_states = None
     total_steps = int(resume_meta.get("total_steps", 0))
 
+    if args.resume and not restored_replay and args.resume_refill_steps:
+        # Same rationale as train_fused.py: refill with the RESUMED policy
+        # (no updates) so the first updates after resume train on-distribution
+        # instead of overfitting a near-empty buffer.
+        target = min(args.resume_refill_steps, training_config.buffer_size)
+        print(f"resume refill: collecting ~{target} env steps (no updates)",
+              flush=True)
+        while int(replay.state.size) < target:
+            key, ckey = jax.random.split(key)
+            replay.state, env_states, _ = collect_and_store(
+                state.params, replay.state, env_states, ckey,
+                jnp.float32(exploration_eps(total_steps)),
+            )
+            total_steps += args.num_envs * args.steps_per_iter
+
     for it in range(args.iterations):
         t0 = time.perf_counter()
         key, ckey = jax.random.split(key)
@@ -318,6 +355,7 @@ def main():
                     args.checkpoint_dir, state, step=total_steps,
                     config=config, training_config=training_config,
                     keep_latest_alias=False, name="best",
+                    replay_state=replay.state if args.save_replay else None,
                     extra_meta={"eval_return": best_eval, "env": env_name},
                 )
                 eval_str += " [best saved]"
