@@ -808,37 +808,67 @@ def main():
             h_agent.config.tpu.compute_dtype = "float32"
 
         # act-time sweep A/B: host-env collection acts on num_parallel_envs
-        # rows (32 here). This is the measured config where the fused Pallas
-        # kernel clearly beats the XLA scan (1.22x on v5e, docs/PERF.md) —
-        # the scan pays per-step overhead + weight re-streaming that the
-        # single kernel amortizes.
+        # rows (32 here) — the regime where the fused Pallas kernel's
+        # amortized per-step overhead should pay. Round 3 measured this
+        # ratio at 1.71x in one process and 0.76x in the driver's (VERDICT
+        # r3 weak #3): the two arms ran in separate phases, so a slow
+        # tunnel/deployment phase poisoned one side only. The arms are now
+        # INTERLEAVED — each trial times XLA then Pallas back to back, and
+        # each arm takes its best trial — so deployment mood hits both.
         if dev.platform == "tpu":
             a_obs = h_obs[:32]
-            res = bench_sweep(
-                h_agent, h_params, a_obs, key,
-                "act-time sweep b=32 (XLA scan, f32)",
-            )
-            if res:
-                sc["act_xla_ms"] = round(1e3 / res[0], 3)
-                key = res[2]
-            h_agent.config.tpu.compute_dtype = "bfloat16"
-            res = bench_sweep(
-                h_agent, h_params, a_obs, key,
-                "act-time sweep b=32 (Pallas fused, bf16 weights)",
-                pallas=True,
-            )
-            if res:
-                sc["act_pallas_ms"] = round(1e3 / res[0], 3)
-                if "act_xla_ms" in sc:
-                    sc["act_pallas_vs_xla"] = round(
-                        sc["act_xla_ms"] / sc["act_pallas_ms"], 2
-                    )
-                    log(
-                        f"  act-time pallas/XLA ratio: "
-                        f"{sc['act_pallas_vs_xla']:.2f}x"
-                    )
-                key = res[2]
-            h_agent.config.tpu.compute_dtype = "float32"
+
+            def _fresh_sweep_fn():
+                @jax.jit
+                def sweep(k, o):
+                    return h_agent.core.generate_beliefs(
+                        h_params, k, o, compute_reconstruction=False
+                    ).latent
+                return sweep
+
+            xla_sweep, pallas_sweep = _fresh_sweep_fn(), _fresh_sweep_fn()
+            try:
+                # Trace each wrapper once under its own config; later calls
+                # hit that wrapper's jit cache regardless of the live flag.
+                h_agent.config.tpu.use_pallas_denoiser = False
+                h_agent.core._fused_sweep_checked = None
+                jax.block_until_ready(xla_sweep(key, a_obs))
+                h_agent.config.tpu.use_pallas_denoiser = True
+                h_agent.config.tpu.compute_dtype = "bfloat16"
+                h_agent.core._fused_sweep_checked = None
+                first = pallas_sweep(key, a_obs)
+                if not bool(jnp.isfinite(first).all()):
+                    raise RuntimeError("pallas act sweep: non-finite latents")
+                best = {"x": float("inf"), "p": float("inf")}
+                for _ in range(4):
+                    for tag, fn in (("x", xla_sweep), ("p", pallas_sweep)):
+                        for _ in range(2):
+                            key, sub = jax.random.split(key)
+                            jax.block_until_ready(fn(sub, a_obs))
+                        t0 = time.perf_counter()
+                        for _ in range(8):
+                            key, sub = jax.random.split(key)
+                            out = fn(sub, a_obs)
+                        jax.block_until_ready(out)
+                        best[tag] = min(
+                            best[tag], (time.perf_counter() - t0) / 8
+                        )
+                sc["act_xla_ms"] = round(1e3 * best["x"], 3)
+                sc["act_pallas_ms"] = round(1e3 * best["p"], 3)
+                sc["act_pallas_vs_xla"] = round(best["x"] / best["p"], 2)
+                sc["act_ab_interleaved"] = True
+                log(
+                    f"  act-time b=32 interleaved A/B: XLA "
+                    f"{sc['act_xla_ms']:.2f} ms, Pallas "
+                    f"{sc['act_pallas_ms']:.2f} ms -> "
+                    f"{sc['act_pallas_vs_xla']:.2f}x"
+                )
+            except Exception as e:
+                log(f"act-time A/B: unavailable ({type(e).__name__}: {e})")
+            finally:
+                h_agent.config.tpu.use_pallas_denoiser = False
+                h_agent.config.tpu.compute_dtype = "float32"
+                h_agent.core._fused_sweep_checked = None
 
         # train step at scale, with and without remat
         if not section_budget("humanoid-scale train_step rows", 180):
@@ -852,27 +882,46 @@ def main():
             "next_observations": jax.random.normal(hkeys[3], (BATCH, 376)),
             "dones": jax.random.bernoulli(hkeys[4], 0.05, (BATCH,)),
         }
-        for remat in (False, True):
-            h_agent.config.tpu.remat_score_network = remat
-            # fresh jit wrapper: the flag is a closure constant, the cached
-            # trace would not see it change
-            h_agent._train_step = jax.jit(h_agent._train_step_impl)
-            label = f"humanoid-scale train_step (remat={remat})"
-            try:
+        # Interleaved A/B (same rationale as the act-time rows: round 3's
+        # sequential arms measured remat 1.41x in one process and 1.00x in
+        # the driver's). Each wrapper traces once under its own flag value;
+        # trials then alternate arms and each arm keeps its best trial.
+        step_fns = {}
+        try:
+            for remat in (False, True):
+                h_agent.config.tpu.remat_score_network = remat
+                fn = jax.jit(h_agent._train_step_impl)
                 t0 = time.perf_counter()
-                h_state2, m = h_agent.train_step(h_state, h_batch)
+                h_state2, m = fn(h_state, h_batch)
                 jax.block_until_ready(h_state2.params)
                 c = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                for _ in range(5):
-                    h_state2, m = h_agent.train_step(h_state, h_batch)
-                jax.block_until_ready(h_state2.params)
-                ms = 1e3 * (time.perf_counter() - t0) / 5
-                log(f"{label}: {ms:.1f} ms (compile {c:.1f}s)")
-                sc[f"train_step_ms_remat_{remat}"] = round(ms, 1)
-                dump_detail()
-            except Exception as e:
-                log(f"{label}: failed ({type(e).__name__}: {e})")
+                log(f"humanoid-scale train_step remat={remat}: compile {c:.1f}s")
+                step_fns[remat] = fn
+            best_ms = {False: float("inf"), True: float("inf")}
+            for _ in range(3):
+                for remat, fn in step_fns.items():
+                    h_state2, m = fn(h_state, h_batch)  # warm
+                    jax.block_until_ready(h_state2.params)
+                    t0 = time.perf_counter()
+                    for _ in range(5):
+                        h_state2, m = fn(h_state, h_batch)
+                    jax.block_until_ready(h_state2.params)
+                    best_ms[remat] = min(
+                        best_ms[remat],
+                        1e3 * (time.perf_counter() - t0) / 5,
+                    )
+            for remat in (False, True):
+                sc[f"train_step_ms_remat_{remat}"] = round(best_ms[remat], 1)
+            sc["remat_ratio"] = round(best_ms[False] / best_ms[True], 2)
+            sc["remat_ab_interleaved"] = True
+            log(
+                f"humanoid-scale train_step interleaved A/B: remat off "
+                f"{best_ms[False]:.1f} ms, on {best_ms[True]:.1f} ms -> "
+                f"{sc['remat_ratio']:.2f}x"
+            )
+            dump_detail()
+        except Exception as e:
+            log(f"humanoid-scale train_step A/B: failed ({type(e).__name__}: {e})")
         h_agent.config.tpu.remat_score_network = False
         detail["humanoid_scale"] = sc
         dump_detail()
