@@ -168,6 +168,15 @@ def main():
 
     action_dim = int(np.prod(eval_env.action_space.shape))
 
+    if args.resume:
+        # Must run BEFORE the agent is built: the jitted train step bakes in
+        # the score-target convention (ADVICE r4 / DEVIATIONS row 11).
+        from active_inference_diffusion_tpu.utils.checkpoints import (
+            adopt_checkpoint_semantics,
+        )
+
+        adopt_checkpoint_semantics(args.resume, config)
+
     # --- agent ---------------------------------------------------------
     if args.pixels:
         from active_inference_diffusion_tpu.agents.pixel_agent import DiffusionPixelAgent

@@ -944,11 +944,11 @@ class DiffusionActiveInference:
         predicted_score = score_at(noisy_latents)
         # Score target: the reference regresses toward -eps/VARIANCE
         # (reference :594-595) though the true score of continuous_q_sample's
-        # z_t = sqrt(alpha) z0 + sqrt(sigma) eps is -eps/sqrt(sigma). Kept by
-        # default in both modes because the system co-adapts around it and
-        # every tuned preset was trained under it; gated by
-        # SemanticsConfig.score_target_convention ("standard" -> true score).
-        # See DEVIATIONS.md.
+        # z_t = sqrt(alpha) z0 + sqrt(sigma) eps is -eps/sqrt(sigma).
+        # Corrected mode now defaults to the TRUE -eps/std target (round-4
+        # flip, two preset-scale A/Bs — DEVIATIONS row 11); faithful mode and
+        # score_target_convention="reference" opt back into the co-adapted
+        # -eps/variance scaling the historical runs were trained under.
         denom = (
             jnp.sqrt(qinfo["sigma"])
             if self.config.semantics.score_target_uses_std

@@ -62,6 +62,15 @@ def save_checkpoint(
     }
     if config is not None:
         meta["config"] = config_to_dict(config)
+        sem = getattr(config, "semantics", None)
+        if sem is not None:
+            # Persist the RESOLVED convention, not the raw (possibly-None)
+            # field: a None saved before the round-4 default flip (b01ac4b)
+            # meant "-eps/variance", afterwards "-eps/std" — ambiguous on
+            # resume. See adopt_checkpoint_semantics().
+            meta["score_target_convention_resolved"] = (
+                "standard" if sem.score_target_uses_std else "reference"
+            )
     if training_config is not None:
         meta["training_config"] = config_to_dict(training_config)
     if extra_meta:
@@ -191,6 +200,64 @@ def _lenient_restore(ckptr, state_path, template_state: AgentTrainState):
             + ", ".join(dropped)
         )
     return state, dropped
+
+
+def adopt_checkpoint_semantics(path_or_dir: str, config) -> None:
+    """Reconcile the score-target convention between a checkpoint and the
+    run config BEFORE any train function is built (ADVICE r4: the round-4
+    default flip b01ac4b silently switches the training objective of
+    pre-flip checkpoints resumed under unpinned presets).
+
+    Reads only meta.json — safe to call before building the agent. If the
+    run config does not pin ``score_target_convention``, the checkpoint's
+    recorded convention is adopted in place; if the config pins a different
+    convention than the checkpoint was trained under, the pin wins but a
+    loud warning is emitted (that mismatch changes the objective mid-run).
+    """
+    try:
+        path = resolve_checkpoint_path(path_or_dir)
+    except FileNotFoundError:
+        return
+    meta_file = path / "meta.json"
+    if not meta_file.exists():
+        return
+    meta = json.loads(meta_file.read_text())
+    saved = meta.get("score_target_convention_resolved")
+    if saved is None:
+        raw = (meta.get("config") or {}).get("semantics", {}).get(
+            "score_target_convention"
+        )
+        saved = raw  # may still be None for legacy unpinned checkpoints
+    sem = getattr(config, "semantics", None)
+    if sem is None:
+        return
+    current = "standard" if sem.score_target_uses_std else "reference"
+    if saved is None:
+        warnings.warn(
+            f"checkpoint {path} predates score-target-convention persistence "
+            f"and its config did not pin one; resuming under the current "
+            f"convention ({current!r}). If the checkpoint was trained before "
+            f"the round-4 default flip, pass score_target_convention: "
+            f"reference explicitly."
+        )
+        return
+    if saved == current:
+        return
+    if sem.score_target_convention is None:
+        sem.score_target_convention = saved
+        print(
+            f"resume: adopting the checkpoint's score-target convention "
+            f"{saved!r} (run config left it unpinned; current default is "
+            f"{current!r}) so the training objective is unchanged across "
+            f"the resume",
+            flush=True,
+        )
+    else:
+        warnings.warn(
+            f"checkpoint {path} was trained under score_target_convention="
+            f"{saved!r} but the run config pins {current!r} — the score "
+            f"target scale will CHANGE at resume (config pin wins)."
+        )
 
 
 def load_checkpoint(

@@ -27,22 +27,25 @@ the bf16/Pallas rows) and again as the process's FINAL output line (the
 driver parses the LAST line of merged stdout+stderr — round 3 lost its
 artifact because a stderr log printed after the early emit). Optional
 sections run in between, time-gated against BENCH_DEADLINE_SECS (default
-900 s from process start), accumulating into ``bench_detail.json``; a
+1100 s from process start), accumulating into ``bench_detail.json``; a
 hard-cap watchdog (BENCH_HARD_CAP_SECS, default 1250 s) forces the final
 re-emit if sections overrun.
 
 Secondary sections, in execution order (all stderr + ``bench_detail.json``):
 - Pallas fused-sweep A/B + train step at the flagship config.
-- Fused on-device collection env-steps/s (Pendulum, planar Hopper).
-- Fused PIXEL collection (on-device rasterizer) and the AOT serving
-  artifact — these run BEFORE the scale section since round 3 dropped them.
 - Scale section at the humanoid_state.yaml config (latent 64, hidden 256,
-  K=50): XLA f32 vs bf16-matmul vs Pallas-fused sweep, act-time b=32 A/B,
-  train-step ms with and without remat_score_network, and achieved TF/s
-  from XLA's own cost analysis — the MXU-saturation evidence for the design.
+  K=50) IMMEDIATELY after the flagship rows (round 4 skipped it with 192 s
+  unspent because it was ordered last — VERDICT r4): XLA f32 vs bf16-matmul
+  vs Pallas-fused sweep, INTERLEAVED act-time b=32 A/B and train-step
+  remat A/B, and achieved TF/s from XLA's own cost analysis.
+- Fused on-device collection env-steps/s (Pendulum, planar Hopper).
+- AOT serving artifact, then fused PIXEL collection (on-device rasterizer).
 - Fused 3D Ant collect LAST: its rigid3d compile ate 474 s of a 150 s
-  budget in the first r4 run and starved pixel/serving/scale; it now runs
-  only when >=420 s remain.
+  budget in the first r4 run and starved pixel/serving/scale.
+Section time budgets are SELF-CALIBRATING: measured per-section wall-clocks
+persist to docs/bench_sections.json and replace the hardcoded estimates on
+the next run (x1.25 margin), so spare deadline seconds are never again left
+unspent while sections sit skipped on pessimistic guesses.
 """
 
 from __future__ import annotations
@@ -83,13 +86,52 @@ def elapsed() -> float:
     return time.time() - T_START
 
 
+# Measured per-section wall-clocks from previous runs (committed so the
+# driver run benefits). Round 4 skipped humanoid-scale/pixel/ant3d on
+# HARDCODED estimates while finishing with 192 s unspent (VERDICT r4 weak
+# #1) — measured times replace guesses, with a 1.25x safety margin.
+SECTION_TIMES_FILE = Path(__file__).parent / "docs" / "bench_sections.json"
+try:
+    _SECTION_TIMES: dict = json.loads(SECTION_TIMES_FILE.read_text())
+except Exception:
+    _SECTION_TIMES = {}
+_SECTION_OPEN: list = []  # [name, t0] of the currently-running section
+
+
+def _close_section() -> None:
+    """Record the wall-clock of the section that just finished."""
+    if not _SECTION_OPEN:
+        return
+    name, t0 = _SECTION_OPEN
+    _SECTION_OPEN.clear()
+    dur = round(time.time() - t0, 1)
+    # Keep the slower of (this run, previous runs): warm-compile runs must
+    # not teach the budgeter an optimism a cold driver run can't meet.
+    prev = float(_SECTION_TIMES.get(name, 0.0))
+    _SECTION_TIMES[name] = max(dur, prev)
+    try:
+        SECTION_TIMES_FILE.parent.mkdir(parents=True, exist_ok=True)
+        SECTION_TIMES_FILE.write_text(json.dumps(_SECTION_TIMES, indent=1) + "\n")
+    except Exception:
+        pass
+
+
 def section_budget(name: str, est: float) -> bool:
-    """True when `est` seconds of work still fit before the deadline."""
+    """True when the section's expected cost still fits before the deadline.
+
+    ``est`` is the fallback guess; once a run has measured the section, the
+    measured wall-clock (x1.25 margin) replaces it."""
+    _close_section()
+    measured = _SECTION_TIMES.get(name)
+    if measured is not None:
+        est = 1.25 * float(measured)
+    tag = "measured" if measured is not None else "est"
     if remaining() > est:
-        log(f"[t+{elapsed():.0f}s] {name}: starting (~{est:.0f}s budget)")
+        log(f"[t+{elapsed():.0f}s] {name}: starting (~{est:.0f}s budget, {tag})")
+        _SECTION_OPEN[:] = [name, time.time()]
         return True
     log(f"[t+{elapsed():.0f}s] {name} skipped: {remaining():.0f}s left < "
-        f"~{est:.0f}s needed (headline JSON already emitted)")
+        f"~{est:.0f}s needed ({tag}; headline JSON already emitted)")
     return False
 
 
@@ -437,6 +479,202 @@ def main():
     except Exception as e:
         log(f"flagship train_step skipped: {type(e).__name__}: {e}")
 
+    # The humanoid-scale section (with the interleaved Pallas/remat A/Bs
+    # that settle round 3's contradictions) runs IMMEDIATELY after the
+    # flagship rows: the r4 driver bench finished with 192 s unspent yet
+    # skipped it because it was ordered after hopper/pixel/serving
+    # (VERDICT r4 weak #1). Ordering it first guarantees the one artifact
+    # the kernel-promotion decision needs.
+    # ================= scale section: humanoid config ==================
+    # humanoid_state.yaml scale (latent 64, hidden 256, K=50): the config
+    # where weight re-streaming dominates the XLA scan and the Pallas
+    # fused kernel must prove out (VERDICT r1 #2/#6).
+    run_scale = dev.platform == "tpu" or _os.environ.get("BENCH_SCALE")
+    try:
+        if not run_scale:
+            raise RuntimeError("scale section is TPU-only (BENCH_SCALE=1 forces)")
+        if not section_budget("humanoid-scale section", 240):
+            raise RuntimeError("deadline")
+        h_agent = make_agent(64, 256, 50, obs_dim=376, act_dim=17)
+        h_params = h_agent.core.init_params(jax.random.PRNGKey(10))
+        h_obs = jax.random.normal(jax.random.PRNGKey(11), (BATCH, 376))
+
+        # analytic sweep FLOPs: K score-net forwards over the batch
+        def sweep_flops(hidden, latent, layers, k_steps, b):
+            per_block = 14 * hidden * hidden  # mod1+v+o+mod2+f1(4h)+f2(4h)
+            head = latent * hidden + hidden * 2 * hidden + hidden * (hidden // 2) + (hidden // 2) * latent
+            return 2 * b * k_steps * (layers * per_block + head)
+
+        hf = sweep_flops(256, 64, h_agent.config.score_num_layers, 50, BATCH)
+        sc = {}
+        # write-through: a mid-section kill (driver timeout, tunnel wedge)
+        # keeps the rows measured so far
+        detail["humanoid_scale"] = sc
+        res = bench_sweep(
+            h_agent, h_params, h_obs, key,
+            "humanoid-scale sweep (XLA scan, f32)", flops=hf,
+        )
+        if res:
+            sc["xla_f32_sweeps_per_sec"] = round(res[0], 1)
+            sc["xla_f32_tf_per_sec"] = round(hf * res[0] / 1e12, 2)
+            key = res[2]
+            dump_detail()
+        with jax.default_matmul_precision("bfloat16"):
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (XLA scan, bf16 matmul)", flops=hf,
+            )
+        if res:
+            sc["xla_bf16_sweeps_per_sec"] = round(res[0], 1)
+            key = res[2]
+            dump_detail()
+        if dev.platform == "tpu":
+            h_agent.config.tpu.compute_dtype = "bfloat16"
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (Pallas fused, bf16 weights)",
+                pallas=True, flops=hf,
+            )
+            if res:
+                sc["pallas_bf16_sweeps_per_sec"] = round(res[0], 1)
+                base = sc.get("xla_f32_sweeps_per_sec")
+                if base:
+                    sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
+                    log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
+                key = res[2]
+                dump_detail()
+            h_agent.config.tpu.compute_dtype = "float32"
+
+        # act-time sweep A/B: host-env collection acts on num_parallel_envs
+        # rows (32 here) — the regime where the fused Pallas kernel's
+        # amortized per-step overhead should pay. Round 3 measured this
+        # ratio at 1.71x in one process and 0.76x in the driver's (VERDICT
+        # r3 weak #3): the two arms ran in separate phases, so a slow
+        # tunnel/deployment phase poisoned one side only. The arms are now
+        # INTERLEAVED — each trial times XLA then Pallas back to back, and
+        # each arm takes its best trial — so deployment mood hits both.
+        if dev.platform == "tpu":
+            a_obs = h_obs[:32]
+
+            def _fresh_sweep_fn():
+                @jax.jit
+                def sweep(k, o):
+                    return h_agent.core.generate_beliefs(
+                        h_params, k, o, compute_reconstruction=False
+                    ).latent
+                return sweep
+
+            xla_sweep, pallas_sweep = _fresh_sweep_fn(), _fresh_sweep_fn()
+            try:
+                # Trace each wrapper once under its own config; later calls
+                # hit that wrapper's jit cache regardless of the live flag.
+                h_agent.config.tpu.use_pallas_denoiser = False
+                h_agent.core._fused_sweep_checked = None
+                jax.block_until_ready(xla_sweep(key, a_obs))
+                h_agent.config.tpu.use_pallas_denoiser = True
+                h_agent.config.tpu.compute_dtype = "bfloat16"
+                h_agent.core._fused_sweep_checked = None
+                first = pallas_sweep(key, a_obs)
+                if not bool(jnp.isfinite(first).all()):
+                    raise RuntimeError("pallas act sweep: non-finite latents")
+                best = {"x": float("inf"), "p": float("inf")}
+                for _ in range(4):
+                    for tag, fn in (("x", xla_sweep), ("p", pallas_sweep)):
+                        for _ in range(2):
+                            key, sub = jax.random.split(key)
+                            jax.block_until_ready(fn(sub, a_obs))
+                        t0 = time.perf_counter()
+                        for _ in range(8):
+                            key, sub = jax.random.split(key)
+                            out = fn(sub, a_obs)
+                        jax.block_until_ready(out)
+                        best[tag] = min(
+                            best[tag], (time.perf_counter() - t0) / 8
+                        )
+                sc["act_xla_ms"] = round(1e3 * best["x"], 3)
+                sc["act_pallas_ms"] = round(1e3 * best["p"], 3)
+                sc["act_pallas_vs_xla"] = round(best["x"] / best["p"], 2)
+                sc["act_ab_interleaved"] = True
+                log(
+                    f"  act-time b=32 interleaved A/B: XLA "
+                    f"{sc['act_xla_ms']:.2f} ms, Pallas "
+                    f"{sc['act_pallas_ms']:.2f} ms -> "
+                    f"{sc['act_pallas_vs_xla']:.2f}x"
+                )
+            except Exception as e:
+                # A NON-FINITE Pallas sweep is a kernel regression, not an
+                # environment hiccup — flag it explicitly so it can't hide
+                # as a missing JSON key (ADVICE r4).
+                if "non-finite" in str(e):
+                    sc["act_pallas_nonfinite"] = True
+                log(f"act-time A/B: unavailable ({type(e).__name__}: {e})")
+            finally:
+                h_agent.config.tpu.use_pallas_denoiser = False
+                h_agent.config.tpu.compute_dtype = "float32"
+                h_agent.core._fused_sweep_checked = None
+
+        # train step at scale, with and without remat
+        if not section_budget("humanoid-scale train_step rows", 180):
+            raise StopIteration  # keep the sweep rows already in `sc`
+        h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
+        hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
+        h_batch = {
+            "observations": jax.random.normal(hkeys[0], (BATCH, 376)),
+            "actions": jax.random.normal(hkeys[1], (BATCH, 17)),
+            "rewards": jax.random.normal(hkeys[2], (BATCH,)),
+            "next_observations": jax.random.normal(hkeys[3], (BATCH, 376)),
+            "dones": jax.random.bernoulli(hkeys[4], 0.05, (BATCH,)),
+        }
+        # Interleaved A/B (same rationale as the act-time rows: round 3's
+        # sequential arms measured remat 1.41x in one process and 1.00x in
+        # the driver's). Each wrapper traces once under its own flag value;
+        # trials then alternate arms and each arm keeps its best trial.
+        step_fns = {}
+        try:
+            for remat in (False, True):
+                h_agent.config.tpu.remat_score_network = remat
+                fn = jax.jit(h_agent._train_step_impl)
+                t0 = time.perf_counter()
+                h_state2, m = fn(h_state, h_batch)
+                jax.block_until_ready(h_state2.params)
+                c = time.perf_counter() - t0
+                log(f"humanoid-scale train_step remat={remat}: compile {c:.1f}s")
+                step_fns[remat] = fn
+            best_ms = {False: float("inf"), True: float("inf")}
+            for _ in range(3):
+                for remat, fn in step_fns.items():
+                    h_state2, m = fn(h_state, h_batch)  # warm
+                    jax.block_until_ready(h_state2.params)
+                    t0 = time.perf_counter()
+                    for _ in range(5):
+                        h_state2, m = fn(h_state, h_batch)
+                    jax.block_until_ready(h_state2.params)
+                    best_ms[remat] = min(
+                        best_ms[remat],
+                        1e3 * (time.perf_counter() - t0) / 5,
+                    )
+            for remat in (False, True):
+                sc[f"train_step_ms_remat_{remat}"] = round(best_ms[remat], 1)
+            sc["remat_ratio"] = round(best_ms[False] / best_ms[True], 2)
+            sc["remat_ab_interleaved"] = True
+            log(
+                f"humanoid-scale train_step interleaved A/B: remat off "
+                f"{best_ms[False]:.1f} ms, on {best_ms[True]:.1f} ms -> "
+                f"{sc['remat_ratio']:.2f}x"
+            )
+            dump_detail()
+        except Exception as e:
+            log(f"humanoid-scale train_step A/B: failed ({type(e).__name__}: {e})")
+        h_agent.config.tpu.remat_score_network = False
+        detail["humanoid_scale"] = sc
+        dump_detail()
+    except StopIteration:
+        detail["humanoid_scale"] = sc  # keep the sweep rows measured so far
+        dump_detail()
+    except Exception as e:
+        log(f"humanoid-scale section skipped: {type(e).__name__}: {e}")
+
+
     def best_rep_rate(run_rep, key, reps, steps_per_rep):
         """Best-of-reps steps/s with PER-REP timing. Aggregating the reps
         lets one transient tunnel stall poison the whole measurement
@@ -617,6 +855,55 @@ def main():
     except Exception as e:
         log(f"fused planar hopper bench skipped: {type(e).__name__}: {e}")
 
+    # ================= AOT serving artifact =============================
+    # utils/serving.py: the acting path exported as a self-contained
+    # StableHLO artifact (params baked in). Measures export size, load
+    # time, and steady-state serve latency at request batch 1 and 64 —
+    # the deployment story the reference does not have.
+    try:
+        if not section_budget("serving section", 120):
+            raise TimeoutError("deadline")
+        from active_inference_diffusion_tpu.utils.serving import (
+            export_policy,
+            load_policy,
+        )
+
+        sstate = agent.init_train_state(jax.random.PRNGKey(21))
+        t0 = time.perf_counter()
+        blob = export_policy(agent, sstate, num_steps=5)
+        export_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        policy = load_policy(blob)
+        load_s = time.perf_counter() - t0
+        serve = {"artifact_bytes": len(blob),
+                 "export_seconds": round(export_s, 2),
+                 "load_seconds": round(load_s, 2)}
+        import numpy as _np
+
+        for b in (1, 64):
+            req = _np.zeros((b, 17), _np.float32)
+            act = policy(req)  # compile
+            if not _np.all(_np.isfinite(act)):
+                raise RuntimeError("served policy returned non-finite actions")
+            t0 = time.perf_counter()
+            reps = 20
+            for i in range(reps):
+                act = policy(req, seed=i)
+            ms = 1e3 * (time.perf_counter() - t0) / reps
+            serve[f"serve_ms_b{b}"] = round(ms, 2)
+        log(
+            f"AOT serving: {len(blob)/1e6:.2f} MB artifact (K=5 sweep), "
+            f"export {export_s:.1f}s, load {load_s:.1f}s, serve "
+            f"{serve['serve_ms_b1']:.2f} ms @ b=1 / {serve['serve_ms_b64']:.2f} "
+            f"ms @ b=64 (host numpy round trip included)"
+        )
+        detail["serving"] = serve
+        dump_detail()
+    except TimeoutError:
+        pass
+    except Exception as e:
+        log(f"serving bench skipped: {type(e).__name__}: {e}")
+
     # ================= fused on-device PIXEL collection ================
     # The observation is rasterized inside the jitted rollout
     # (envs/pixel_render.py): 84x84x3 uint8, frame-stack 3, conv-encoded
@@ -698,238 +985,7 @@ def main():
     except Exception as e:
         log(f"fused pixel collect bench skipped: {type(e).__name__}: {e}")
 
-    # ================= AOT serving artifact =============================
-    # utils/serving.py: the acting path exported as a self-contained
-    # StableHLO artifact (params baked in). Measures export size, load
-    # time, and steady-state serve latency at request batch 1 and 64 —
-    # the deployment story the reference does not have.
-    try:
-        if not section_budget("serving section", 120):
-            raise TimeoutError("deadline")
-        from active_inference_diffusion_tpu.utils.serving import (
-            export_policy,
-            load_policy,
-        )
 
-        sstate = agent.init_train_state(jax.random.PRNGKey(21))
-        t0 = time.perf_counter()
-        blob = export_policy(agent, sstate, num_steps=5)
-        export_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        policy = load_policy(blob)
-        load_s = time.perf_counter() - t0
-        serve = {"artifact_bytes": len(blob),
-                 "export_seconds": round(export_s, 2),
-                 "load_seconds": round(load_s, 2)}
-        import numpy as _np
-
-        for b in (1, 64):
-            req = _np.zeros((b, 17), _np.float32)
-            act = policy(req)  # compile
-            if not _np.all(_np.isfinite(act)):
-                raise RuntimeError("served policy returned non-finite actions")
-            t0 = time.perf_counter()
-            reps = 20
-            for i in range(reps):
-                act = policy(req, seed=i)
-            ms = 1e3 * (time.perf_counter() - t0) / reps
-            serve[f"serve_ms_b{b}"] = round(ms, 2)
-        log(
-            f"AOT serving: {len(blob)/1e6:.2f} MB artifact (K=5 sweep), "
-            f"export {export_s:.1f}s, load {load_s:.1f}s, serve "
-            f"{serve['serve_ms_b1']:.2f} ms @ b=1 / {serve['serve_ms_b64']:.2f} "
-            f"ms @ b=64 (host numpy round trip included)"
-        )
-        detail["serving"] = serve
-        dump_detail()
-    except TimeoutError:
-        pass
-    except Exception as e:
-        log(f"serving bench skipped: {type(e).__name__}: {e}")
-
-    # ================= scale section: humanoid config ==================
-    # humanoid_state.yaml scale (latent 64, hidden 256, K=50): the config
-    # where weight re-streaming dominates the XLA scan and the Pallas
-    # fused kernel must prove out (VERDICT r1 #2/#6).
-    run_scale = dev.platform == "tpu" or _os.environ.get("BENCH_SCALE")
-    try:
-        if not run_scale:
-            raise RuntimeError("scale section is TPU-only (BENCH_SCALE=1 forces)")
-        if not section_budget("humanoid-scale section", 240):
-            raise RuntimeError("deadline")
-        h_agent = make_agent(64, 256, 50, obs_dim=376, act_dim=17)
-        h_params = h_agent.core.init_params(jax.random.PRNGKey(10))
-        h_obs = jax.random.normal(jax.random.PRNGKey(11), (BATCH, 376))
-
-        # analytic sweep FLOPs: K score-net forwards over the batch
-        def sweep_flops(hidden, latent, layers, k_steps, b):
-            per_block = 14 * hidden * hidden  # mod1+v+o+mod2+f1(4h)+f2(4h)
-            head = latent * hidden + hidden * 2 * hidden + hidden * (hidden // 2) + (hidden // 2) * latent
-            return 2 * b * k_steps * (layers * per_block + head)
-
-        hf = sweep_flops(256, 64, h_agent.config.score_num_layers, 50, BATCH)
-        sc = {}
-        # write-through: a mid-section kill (driver timeout, tunnel wedge)
-        # keeps the rows measured so far
-        detail["humanoid_scale"] = sc
-        res = bench_sweep(
-            h_agent, h_params, h_obs, key,
-            "humanoid-scale sweep (XLA scan, f32)", flops=hf,
-        )
-        if res:
-            sc["xla_f32_sweeps_per_sec"] = round(res[0], 1)
-            sc["xla_f32_tf_per_sec"] = round(hf * res[0] / 1e12, 2)
-            key = res[2]
-            dump_detail()
-        with jax.default_matmul_precision("bfloat16"):
-            res = bench_sweep(
-                h_agent, h_params, h_obs, key,
-                "humanoid-scale sweep (XLA scan, bf16 matmul)", flops=hf,
-            )
-        if res:
-            sc["xla_bf16_sweeps_per_sec"] = round(res[0], 1)
-            key = res[2]
-            dump_detail()
-        if dev.platform == "tpu":
-            h_agent.config.tpu.compute_dtype = "bfloat16"
-            res = bench_sweep(
-                h_agent, h_params, h_obs, key,
-                "humanoid-scale sweep (Pallas fused, bf16 weights)",
-                pallas=True, flops=hf,
-            )
-            if res:
-                sc["pallas_bf16_sweeps_per_sec"] = round(res[0], 1)
-                base = sc.get("xla_f32_sweeps_per_sec")
-                if base:
-                    sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
-                    log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
-                key = res[2]
-                dump_detail()
-            h_agent.config.tpu.compute_dtype = "float32"
-
-        # act-time sweep A/B: host-env collection acts on num_parallel_envs
-        # rows (32 here) — the regime where the fused Pallas kernel's
-        # amortized per-step overhead should pay. Round 3 measured this
-        # ratio at 1.71x in one process and 0.76x in the driver's (VERDICT
-        # r3 weak #3): the two arms ran in separate phases, so a slow
-        # tunnel/deployment phase poisoned one side only. The arms are now
-        # INTERLEAVED — each trial times XLA then Pallas back to back, and
-        # each arm takes its best trial — so deployment mood hits both.
-        if dev.platform == "tpu":
-            a_obs = h_obs[:32]
-
-            def _fresh_sweep_fn():
-                @jax.jit
-                def sweep(k, o):
-                    return h_agent.core.generate_beliefs(
-                        h_params, k, o, compute_reconstruction=False
-                    ).latent
-                return sweep
-
-            xla_sweep, pallas_sweep = _fresh_sweep_fn(), _fresh_sweep_fn()
-            try:
-                # Trace each wrapper once under its own config; later calls
-                # hit that wrapper's jit cache regardless of the live flag.
-                h_agent.config.tpu.use_pallas_denoiser = False
-                h_agent.core._fused_sweep_checked = None
-                jax.block_until_ready(xla_sweep(key, a_obs))
-                h_agent.config.tpu.use_pallas_denoiser = True
-                h_agent.config.tpu.compute_dtype = "bfloat16"
-                h_agent.core._fused_sweep_checked = None
-                first = pallas_sweep(key, a_obs)
-                if not bool(jnp.isfinite(first).all()):
-                    raise RuntimeError("pallas act sweep: non-finite latents")
-                best = {"x": float("inf"), "p": float("inf")}
-                for _ in range(4):
-                    for tag, fn in (("x", xla_sweep), ("p", pallas_sweep)):
-                        for _ in range(2):
-                            key, sub = jax.random.split(key)
-                            jax.block_until_ready(fn(sub, a_obs))
-                        t0 = time.perf_counter()
-                        for _ in range(8):
-                            key, sub = jax.random.split(key)
-                            out = fn(sub, a_obs)
-                        jax.block_until_ready(out)
-                        best[tag] = min(
-                            best[tag], (time.perf_counter() - t0) / 8
-                        )
-                sc["act_xla_ms"] = round(1e3 * best["x"], 3)
-                sc["act_pallas_ms"] = round(1e3 * best["p"], 3)
-                sc["act_pallas_vs_xla"] = round(best["x"] / best["p"], 2)
-                sc["act_ab_interleaved"] = True
-                log(
-                    f"  act-time b=32 interleaved A/B: XLA "
-                    f"{sc['act_xla_ms']:.2f} ms, Pallas "
-                    f"{sc['act_pallas_ms']:.2f} ms -> "
-                    f"{sc['act_pallas_vs_xla']:.2f}x"
-                )
-            except Exception as e:
-                log(f"act-time A/B: unavailable ({type(e).__name__}: {e})")
-            finally:
-                h_agent.config.tpu.use_pallas_denoiser = False
-                h_agent.config.tpu.compute_dtype = "float32"
-                h_agent.core._fused_sweep_checked = None
-
-        # train step at scale, with and without remat
-        if not section_budget("humanoid-scale train_step rows", 180):
-            raise StopIteration  # keep the sweep rows already in `sc`
-        h_state = h_agent.init_train_state(jax.random.PRNGKey(12))
-        hkeys = jax.random.split(jax.random.PRNGKey(13), 5)
-        h_batch = {
-            "observations": jax.random.normal(hkeys[0], (BATCH, 376)),
-            "actions": jax.random.normal(hkeys[1], (BATCH, 17)),
-            "rewards": jax.random.normal(hkeys[2], (BATCH,)),
-            "next_observations": jax.random.normal(hkeys[3], (BATCH, 376)),
-            "dones": jax.random.bernoulli(hkeys[4], 0.05, (BATCH,)),
-        }
-        # Interleaved A/B (same rationale as the act-time rows: round 3's
-        # sequential arms measured remat 1.41x in one process and 1.00x in
-        # the driver's). Each wrapper traces once under its own flag value;
-        # trials then alternate arms and each arm keeps its best trial.
-        step_fns = {}
-        try:
-            for remat in (False, True):
-                h_agent.config.tpu.remat_score_network = remat
-                fn = jax.jit(h_agent._train_step_impl)
-                t0 = time.perf_counter()
-                h_state2, m = fn(h_state, h_batch)
-                jax.block_until_ready(h_state2.params)
-                c = time.perf_counter() - t0
-                log(f"humanoid-scale train_step remat={remat}: compile {c:.1f}s")
-                step_fns[remat] = fn
-            best_ms = {False: float("inf"), True: float("inf")}
-            for _ in range(3):
-                for remat, fn in step_fns.items():
-                    h_state2, m = fn(h_state, h_batch)  # warm
-                    jax.block_until_ready(h_state2.params)
-                    t0 = time.perf_counter()
-                    for _ in range(5):
-                        h_state2, m = fn(h_state, h_batch)
-                    jax.block_until_ready(h_state2.params)
-                    best_ms[remat] = min(
-                        best_ms[remat],
-                        1e3 * (time.perf_counter() - t0) / 5,
-                    )
-            for remat in (False, True):
-                sc[f"train_step_ms_remat_{remat}"] = round(best_ms[remat], 1)
-            sc["remat_ratio"] = round(best_ms[False] / best_ms[True], 2)
-            sc["remat_ab_interleaved"] = True
-            log(
-                f"humanoid-scale train_step interleaved A/B: remat off "
-                f"{best_ms[False]:.1f} ms, on {best_ms[True]:.1f} ms -> "
-                f"{sc['remat_ratio']:.2f}x"
-            )
-            dump_detail()
-        except Exception as e:
-            log(f"humanoid-scale train_step A/B: failed ({type(e).__name__}: {e})")
-        h_agent.config.tpu.remat_score_network = False
-        detail["humanoid_scale"] = sc
-        dump_detail()
-    except StopIteration:
-        detail["humanoid_scale"] = sc  # keep the sweep rows measured so far
-        dump_detail()
-    except Exception as e:
-        log(f"humanoid-scale section skipped: {type(e).__name__}: {e}")
 
 
     # ================= fused on-device 3D (Ant) collection =============
@@ -992,6 +1048,7 @@ def main():
 
 
     # --- done ----------------------------------------------------------
+    _close_section()
     dump_detail()
     log(
         f"bench complete in {time.time() - T_START:.0f}s "

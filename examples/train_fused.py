@@ -271,6 +271,14 @@ def main():
     from active_inference_diffusion_tpu.utils.logger import Logger
 
     env, env_name, config, training_config = build_run_config(args)
+    if args.resume:
+        # Must run BEFORE the agent is built: the jitted train step bakes in
+        # the score-target convention (ADVICE r4 / DEVIATIONS row 11).
+        from active_inference_diffusion_tpu.utils.checkpoints import (
+            adopt_checkpoint_semantics,
+        )
+
+        adopt_checkpoint_semantics(args.resume, config)
     # Print BEFORE the first dispatch: through the axon tunnel the first
     # fused-collect compile can take tens of minutes at humanoid scale, and
     # a silent log reads as a hung job to any stale-log watchdog.
@@ -306,7 +314,8 @@ def main():
             f"resumed from {args.resume}: total_steps="
             f"{resume_meta.get('total_steps')} "
             f"eval_return={resume_meta.get('eval_return')} "
-            f"replay={'restored (size %d)' % int(replay.size) if restored_replay else 'fresh'}"
+            f"replay={'restored (size %d)' % int(replay.size) if restored_replay else 'fresh'}",
+            flush=True,
         )
 
     rollout_policy = make_rollout_policy(
@@ -429,7 +438,8 @@ def main():
         # Refill with the RESUMED policy (no updates) so training continues
         # on-distribution; a --save-replay checkpoint skips this entirely.
         target = min(args.resume_refill_steps, training_config.buffer_size)
-        print(f"resume refill: collecting ~{target} env steps (no updates)")
+        print(f"resume refill: collecting ~{target} env steps (no updates)",
+              flush=True)
         while int(replay.size) < target:
             key, ckey = jax.random.split(key)
             replay, env_states, warm_state, _ = collect_and_store(
@@ -507,10 +517,15 @@ def main():
             print(
                 f"[iter {it}] steps={total_steps} "
                 f"mean_step_reward={float(mean_reward):.3f} "
-                f"steps/s={log['fused/env_steps_per_sec']:.0f}" + eval_str
+                f"steps/s={log['fused/env_steps_per_sec']:.0f}" + eval_str,
+                # flush so a redirected log's mtime tracks real progress —
+                # a fully-buffered ~100-byte/10-iter stream can look stale
+                # to the tpu_job.sh watchdog and get a healthy run killed
+                # mid-dispatch (ADVICE r4).
+                flush=True,
             )
 
-    print("done")
+    print("done", flush=True)
 
 
 if __name__ == "__main__":

@@ -181,6 +181,14 @@ def main():
     env, env_name, config, pixel_config, training_config = (
         build_pixel_run_config(args)
     )
+    if args.resume:
+        # Must run BEFORE the agent is built: the jitted train step bakes in
+        # the score-target convention (ADVICE r4 / DEVIATIONS row 11).
+        from active_inference_diffusion_tpu.utils.checkpoints import (
+            adopt_checkpoint_semantics,
+        )
+
+        adopt_checkpoint_semantics(args.resume, config)
     print(
         f"fused pixel training: env={env_name} size={env.size} "
         f"stack={env.frame_stack} latent={config.latent_dim} "
