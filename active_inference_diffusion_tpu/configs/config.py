@@ -212,6 +212,14 @@ class TpuConfig:
     # weight re-streaming dominates; bench.py measures both and reports the
     # faster.
     use_pallas_denoiser: bool = False
+    # Kernel variant for the fused denoiser: "v2" (default) fuses the
+    # seq-len-1 attention pair v_proj@out_proj into one precomputed matmul
+    # and batches all 2L+1 z-independent adaLN modulation products into ONE
+    # wide matmul per diffusion step (~22 vs ~40 sequential matmuls/step) —
+    # built for the latency-bound flagship regime (VERDICT r4 #8). "v1" is
+    # the original one-matmul-per-site kernel. Exact same math up to float
+    # re-association (ops/denoise.py, tests/test_pallas_denoise.py).
+    denoiser_kernel: str = "v2"
     donate_buffers: bool = True
     remat_score_network: bool = False  # jax.checkpoint the score net in the ELBO
 

@@ -487,10 +487,18 @@ class DiffusionActiveInference:
             z_init = dproc.q_sample(self.schedule, z_init, t0, fwd_noise)
 
         if self._use_fused_sweep() and not return_trajectory:
-            from ..ops.denoise import fused_denoise_sweep
+            from ..ops.denoise import (
+                fused_denoise_sweep,
+                fused_denoise_sweep_v2,
+            )
 
+            sweep_fn = (
+                fused_denoise_sweep_v2
+                if self.config.tpu.denoiser_kernel == "v2"
+                else fused_denoise_sweep
+            )
             seed = jax.random.randint(scan_key, (), 0, jnp.iinfo(jnp.int32).max)
-            latent = fused_denoise_sweep(
+            latent = sweep_fn(
                 self.schedule, params["score"], z_init, obs_emb, t_embs,
                 seed=seed, num_steps=k, num_layers=self.config.score_num_layers,
                 deterministic=deterministic,

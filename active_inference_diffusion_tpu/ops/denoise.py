@@ -314,3 +314,209 @@ def fused_denoise_sweep(
         t_embs,
         *[w[k] for k in weight_order],
     )
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: fused linear algebra for the latency-bound regime
+# ---------------------------------------------------------------------------
+#
+# At the flagship scale (B=256, hidden 128) the sweep is LATENCY-bound, not
+# FLOP-bound (VERDICT r4 #8: ~22 ms/sweep vs a sub-ms MXU floor): the v1
+# kernel issues ~40 small sequential matmuls per diffusion step. Two exact
+# algebraic fusions cut that to ~22 with larger shapes:
+#
+# 1. The DiT "attention" runs at sequence length 1 (reference
+#    models/score_networks.py:225: a single token attends to itself), so
+#    softmax(qk)v == v and the block is the LINEAR chain
+#    out_proj(v_proj(x)) = x @ (Wv @ Wo) + (bv @ Wo + bo). Wv@Wo is
+#    precomputed on the host side of the trace — one matmul per block
+#    instead of two.
+# 2. All 2L+1 adaLN modulation products depend only on the conditioning
+#    (obs_emb + t_emb), never on z — they are computed as ONE wide matmul
+#    (B,h) @ (h, L*4h + 2h) per step and sliced, instead of 13 narrow
+#    sequential matmuls interleaved with the z chain.
+
+
+def extract_trunk_weights_v2(
+    score_params: Dict, num_layers: int
+) -> Dict[str, jnp.ndarray]:
+    """v1 weights restructured for the fused-linear kernel (see above)."""
+    w = extract_trunk_weights(score_params, num_layers)
+    mods, bmods = [], []
+    for l in range(num_layers):
+        mods += [w["mod1_w"][l], w["mod2_w"][l]]
+        bmods += [w["mod1_b"][l], w["mod2_b"][l]]
+    mods.append(w["modf_w"])
+    bmods.append(w["modf_b"])
+    return {
+        "latent_proj_w": w["latent_proj_w"],
+        "latent_proj_b": w["latent_proj_b"],
+        "mod_w": jnp.concatenate(mods, axis=1),  # (h, L*4h + 2h)
+        "mod_b": jnp.concatenate(bmods, axis=0),
+        "vo_w": jnp.einsum("lhk,lkj->lhj", w["v_w"], w["o_w"]),
+        "vo_b": jnp.einsum("lk,lkj->lj", w["v_b"], w["o_w"]) + w["o_b"],
+        "f1_w": w["f1_w"],
+        "f1_b": w["f1_b"],
+        "f2_w": w["f2_w"],
+        "f2_b": w["f2_b"],
+        "out1_w": w["out1_w"],
+        "out1_b": w["out1_b"],
+        "out2_w": w["out2_w"],
+        "output_multiplier": w["output_multiplier"],
+    }
+
+
+def _denoise_kernel_v2(
+    num_steps: int,
+    num_layers: int,
+    hidden_dim: int,
+    latent_dim: int,
+    stochastic: bool,
+    # scalar-prefetch refs (SMEM):
+    seed_ref,
+    coeffs_ref,  # (K, 8): [s1 s2 c1 c2 sd noise_mask mult 0]
+    # VMEM inputs:
+    z0_ref,  # (TB, D)
+    obs_emb_ref,  # (TB, H)
+    t_embs_ref,  # (K, H)
+    lp_w_ref, lp_b_ref,
+    mod_w_ref, mod_b_ref, vo_w_ref, vo_b_ref,
+    f1_w_ref, f1_b_ref, f2_w_ref, f2_b_ref,
+    out1_w_ref, out1_b_ref, out2_w_ref,
+    out_ref,  # (TB, D)
+):
+    h_dim = hidden_dim
+
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def mm(x, w_ref, b_ref=None, idx=None):
+        w = w_ref[idx] if idx is not None else w_ref[:]
+        y = jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
+        if b_ref is not None:
+            b = b_ref[idx] if idx is not None else b_ref[:]
+            y = y + b[None, :]
+        return y
+
+    def normal_like(shape):
+        return bits_to_normal(
+            pltpu.prng_random_bits(shape), pltpu.prng_random_bits(shape)
+        )
+
+    mult = coeffs_ref[0, 6]
+
+    def step(i, z):
+        cond = obs_emb_ref[:] + t_embs_ref[pl.ds(i, 1), :]
+        sc = jax.nn.silu(cond)
+        # ONE wide modulation matmul for all 2L+1 adaLN sites this step.
+        mods = mm(sc, mod_w_ref, mod_b_ref)  # (TB, L*4h + 2h)
+
+        def adaln_at(x, off):
+            scale = mods[:, off : off + h_dim]
+            shift = mods[:, off + h_dim : off + 2 * h_dim]
+            return _ln(x) * (1.0 + scale) + shift
+
+        h = mm(z, lp_w_ref, lp_b_ref)
+        for l in range(num_layers):
+            base = l * 4 * h_dim
+            x1 = adaln_at(h, base)
+            h = h + mm(x1, vo_w_ref, vo_b_ref, l)  # fused v_proj@out_proj
+            x2 = adaln_at(h, base + 2 * h_dim)
+            h = h + mm(
+                jax.nn.gelu(mm(x2, f1_w_ref, f1_b_ref, l)),
+                f2_w_ref, f2_b_ref, l,
+            )
+
+        hf = adaln_at(h, num_layers * 4 * h_dim)
+        o1 = jax.nn.silu(mm(hf, out1_w_ref, out1_b_ref))
+        score = jnp.clip(mm(o1, out2_w_ref), -10.0, 10.0) * mult
+
+        s1 = coeffs_ref[i, 0]
+        s2 = coeffs_ref[i, 1]
+        c1 = coeffs_ref[i, 2]
+        c2 = coeffs_ref[i, 3]
+
+        pz0 = (z + s1 * score) * s2
+        mean = c1 * pz0 + c2 * z
+        if stochastic:
+            mean = mean + coeffs_ref[i, 5] * coeffs_ref[i, 4] * normal_like(z.shape)
+        return mean
+
+    out_ref[:] = jax.lax.fori_loop(0, num_steps, step, z0_ref[:])
+
+
+def fused_denoise_sweep_v2(
+    schedule: DiffusionSchedule,
+    score_params: Dict,
+    z0: jnp.ndarray,  # (B, D)
+    obs_emb: jnp.ndarray,  # (B, H)
+    t_embs: jnp.ndarray,  # (K, H)
+    seed: jnp.ndarray,
+    num_steps: int,
+    num_layers: int,
+    deterministic: bool = False,
+    batch_tile: int = 256,
+    interpret: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """The fused-linear variant of :func:`fused_denoise_sweep` (same
+    semantics; v_proj@out_proj and the modulation matmuls are algebraically
+    combined — exact up to float re-association)."""
+    b, d = z0.shape
+    h = obs_emb.shape[-1]
+    w = extract_trunk_weights_v2(score_params, num_layers)
+    if compute_dtype != jnp.float32:
+        w = {
+            k: (v.astype(compute_dtype) if k.endswith("_w") else v)
+            for k, v in w.items()
+        }
+    coeffs = sweep_coefficients(schedule, num_steps, deterministic)
+    coeffs = coeffs.at[0, 6].set(w["output_multiplier"][0])
+
+    tile = min(batch_tile, b)
+    if b % tile != 0:
+        tile = b
+    grid = (b // tile,)
+
+    def batch_spec(cols):
+        return pl.BlockSpec(
+            (tile, cols), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def full_spec():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _denoise_kernel_v2, num_steps, num_layers, h, d, not deterministic
+    )
+
+    weight_order = [
+        "latent_proj_w", "latent_proj_b",
+        "mod_w", "mod_b", "vo_w", "vo_b",
+        "f1_w", "f1_b", "f2_w", "f2_b",
+        "out1_w", "out1_b", "out2_w",
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d), z0.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                batch_spec(d),
+                batch_spec(h),
+                full_spec(),
+            ]
+            + [full_spec() for _ in weight_order],
+            out_specs=batch_spec(d),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape((1,)),
+        coeffs,
+        z0,
+        obs_emb,
+        t_embs,
+        *[w[k] for k in weight_order],
+    )

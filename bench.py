@@ -312,10 +312,15 @@ def main():
             best = min(best, (time.perf_counter() - t0) / n_timed)
         return best, key
 
-    def bench_sweep(agent, params, obs, key, label, pallas=False, flops=None):
+    def bench_sweep(agent, params, obs, key, label, pallas=False, flops=None,
+                    kernel=None):
         """Compile + steady-state timing of one belief sweep config.
-        Returns (sweeps_per_sec, compile_seconds, key) or None on failure."""
+        Returns (sweeps_per_sec, compile_seconds, key) or None on failure.
+        ``kernel``: "v1"|"v2" selects the Pallas kernel variant (default:
+        the config's default)."""
         agent.config.tpu.use_pallas_denoiser = pallas
+        if kernel is not None:
+            agent.config.tpu.denoiser_kernel = kernel
         agent.core._fused_sweep_checked = None
 
         @jax.jit
@@ -431,12 +436,32 @@ def main():
             dump_detail()
 
     if dev.platform == "tpu" and section_budget("flagship Pallas row", 60):
-        res = bench_sweep(agent, params, obs, key, "flagship sweep (Pallas fused)", pallas=True)
+        res = bench_sweep(agent, params, obs, key,
+                          "flagship sweep (Pallas fused v1)", pallas=True,
+                          kernel="v1")
         if res:
             p_sps, p_compile, key = res
-            log(f"  pallas/XLA ratio at flagship: {p_sps / sweeps_per_sec:.2f}x")
+            log(f"  pallas-v1/XLA ratio at flagship: {p_sps / sweeps_per_sec:.2f}x")
             detail["flagship_sweep"]["pallas_sweeps_per_sec"] = round(p_sps, 1)
             detail["flagship_sweep"]["pallas_vs_xla"] = round(p_sps / sweeps_per_sec, 2)
+            dump_detail()
+
+    # v2 kernel row (round 5, VERDICT r4 #8): fused v_proj@out_proj +
+    # one-wide-matmul adaLN modulations — the latency-bound-regime redesign.
+    if dev.platform == "tpu" and section_budget("flagship Pallas v2 row", 60):
+        res = bench_sweep(agent, params, obs, key,
+                          "flagship sweep (Pallas fused v2)", pallas=True,
+                          kernel="v2")
+        if res:
+            p2_sps, _, key = res
+            log(f"  pallas-v2/XLA ratio at flagship: {p2_sps / sweeps_per_sec:.2f}x")
+            detail["flagship_sweep"]["pallas_v2_sweeps_per_sec"] = round(p2_sps, 1)
+            detail["flagship_sweep"]["pallas_v2_vs_xla"] = round(
+                p2_sps / sweeps_per_sec, 2
+            )
+            v1 = detail["flagship_sweep"].get("pallas_sweeps_per_sec")
+            if v1:
+                detail["flagship_sweep"]["pallas_v2_vs_v1"] = round(p2_sps / v1, 2)
             dump_detail()
 
     # --- flagship train-step (secondary) -------------------------------
@@ -532,15 +557,31 @@ def main():
             h_agent.config.tpu.compute_dtype = "bfloat16"
             res = bench_sweep(
                 h_agent, h_params, h_obs, key,
-                "humanoid-scale sweep (Pallas fused, bf16 weights)",
-                pallas=True, flops=hf,
+                "humanoid-scale sweep (Pallas fused v1, bf16 weights)",
+                pallas=True, flops=hf, kernel="v1",
             )
             if res:
                 sc["pallas_bf16_sweeps_per_sec"] = round(res[0], 1)
                 base = sc.get("xla_f32_sweeps_per_sec")
                 if base:
                     sc["pallas_vs_xla_f32"] = round(res[0] / base, 2)
-                    log(f"  pallas/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
+                    log(f"  pallas-v1/XLA(f32) ratio at humanoid scale: {sc['pallas_vs_xla_f32']:.2f}x")
+                key = res[2]
+                dump_detail()
+            res = bench_sweep(
+                h_agent, h_params, h_obs, key,
+                "humanoid-scale sweep (Pallas fused v2, bf16 weights)",
+                pallas=True, flops=hf, kernel="v2",
+            )
+            if res:
+                sc["pallas_v2_bf16_sweeps_per_sec"] = round(res[0], 1)
+                base = sc.get("xla_f32_sweeps_per_sec")
+                if base:
+                    sc["pallas_v2_vs_xla_f32"] = round(res[0] / base, 2)
+                    log(f"  pallas-v2/XLA(f32) ratio at humanoid scale: {sc['pallas_v2_vs_xla_f32']:.2f}x")
+                v1 = sc.get("pallas_bf16_sweeps_per_sec")
+                if v1:
+                    sc["pallas_v2_vs_v1"] = round(res[0] / v1, 2)
                 key = res[2]
                 dump_detail()
             h_agent.config.tpu.compute_dtype = "float32"
@@ -573,6 +614,7 @@ def main():
                 jax.block_until_ready(xla_sweep(key, a_obs))
                 h_agent.config.tpu.use_pallas_denoiser = True
                 h_agent.config.tpu.compute_dtype = "bfloat16"
+                h_agent.config.tpu.denoiser_kernel = "v2"
                 h_agent.core._fused_sweep_checked = None
                 first = pallas_sweep(key, a_obs)
                 if not bool(jnp.isfinite(first).all()):
