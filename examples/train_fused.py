@@ -525,6 +525,23 @@ def main():
                 flush=True,
             )
 
+    if args.checkpoint_dir:
+        # End-of-run checkpoint regardless of eval (same rationale as
+        # train_fused_pixels.py: a run whose evals never beat the restored
+        # best would otherwise be unresumable).
+        from active_inference_diffusion_tpu.utils.checkpoints import (
+            save_checkpoint,
+        )
+
+        save_checkpoint(
+            args.checkpoint_dir, state, step=total_steps,
+            config=config, training_config=training_config,
+            keep_latest_alias=False, name="final",
+            replay_state=replay if args.save_replay else None,
+            extra_meta={"eval_return": best_eval, "env": env_name},
+        )
+        print(f"final checkpoint saved at step {total_steps}", flush=True)
+
     print("done", flush=True)
 
 

@@ -376,6 +376,25 @@ def main():
                 flush=True,
             )
 
+    if args.checkpoint_dir:
+        # End-of-run checkpoint regardless of eval: a run whose evals never
+        # beat the restored best (e.g. a pixel arm still at random) would
+        # otherwise leave NOTHING to continue from — 'best' stays the old
+        # params and the whole run's training is unresumable (bit round 5:
+        # pixel arm D's 278k-step run left only its 45k-step 'best').
+        from active_inference_diffusion_tpu.utils.checkpoints import (
+            save_checkpoint,
+        )
+
+        save_checkpoint(
+            args.checkpoint_dir, state, step=total_steps,
+            config=config, training_config=training_config,
+            keep_latest_alias=False, name="final",
+            replay_state=replay.state if args.save_replay else None,
+            extra_meta={"eval_return": best_eval, "env": env_name},
+        )
+        print(f"final checkpoint saved at step {total_steps}", flush=True)
+
     print("done", flush=True)
 
 
