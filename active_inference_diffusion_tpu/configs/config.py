@@ -212,14 +212,19 @@ class TpuConfig:
     # weight re-streaming dominates; bench.py measures both and reports the
     # faster.
     use_pallas_denoiser: bool = False
-    # Kernel variant for the fused denoiser: "v2" (default) fuses the
-    # seq-len-1 attention pair v_proj@out_proj into one precomputed matmul
-    # and batches all 2L+1 z-independent adaLN modulation products into ONE
-    # wide matmul per diffusion step (~22 vs ~40 sequential matmuls/step) —
-    # built for the latency-bound flagship regime (VERDICT r4 #8). "v1" is
-    # the original one-matmul-per-site kernel. Exact same math up to float
-    # re-association (ops/denoise.py, tests/test_pallas_denoise.py).
-    denoiser_kernel: str = "v2"
+    # Kernel variant for the fused denoiser. "v1" (default): one matmul per
+    # site. "v2": fuses the seq-len-1 attention pair v_proj@out_proj into
+    # one precomputed matmul and batches all 2L+1 z-independent adaLN
+    # modulation products into ONE wide matmul per step (~22 vs ~40
+    # matmuls/step). v2 was built for the latency-bound flagship regime
+    # (VERDICT r4 #8) and MEASURED SLOWER on v5e: 0.83x v1 at both flagship
+    # (397 vs 480 sweeps/s) and humanoid scale (369 vs 444), 2026-08-21
+    # bench_r5a — inside a single Pallas kernel there is no per-matmul
+    # dispatch cost to save, so fewer/larger matmuls only lengthen the
+    # critical path. Kept as a tested negative result; the latency floor at
+    # these model sizes is the K sequential trunk applications themselves
+    # (three implementations — XLA scan, v1, v2 — land within ±15%).
+    denoiser_kernel: str = "v1"
     donate_buffers: bool = True
     remat_score_network: bool = False  # jax.checkpoint the score net in the ELBO
 

@@ -614,7 +614,10 @@ def main():
                 jax.block_until_ready(xla_sweep(key, a_obs))
                 h_agent.config.tpu.use_pallas_denoiser = True
                 h_agent.config.tpu.compute_dtype = "bfloat16"
-                h_agent.config.tpu.denoiser_kernel = "v2"
+                # v1 explicitly: the r5a run accidentally measured the act
+                # A/B with the v2 kernel (0.91x); v1 is the shipped variant
+                # (r4b: 1.20x act-time at b=32).
+                h_agent.config.tpu.denoiser_kernel = "v1"
                 h_agent.core._fused_sweep_checked = None
                 first = pallas_sweep(key, a_obs)
                 if not bool(jnp.isfinite(first).all()):
