@@ -24,6 +24,12 @@ the one-heavy-job rule). Usage:
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import argparse
 import json
 

@@ -21,6 +21,12 @@ Usage: python scripts/pixel_probe.py --checkpoint checkpoints/pixel_e/final
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import argparse
 import json
 
