@@ -173,23 +173,49 @@ class DiffusionPixelAgent(DiffusionStateAgent):
         latents: jnp.ndarray,
         next_latents: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Uncertainty-weighted InfoNCE aligning predicted next latents with
-        next encoded features (reference: pixel_agent.py:413-437)."""
+        """Temporal representation losses on the pixel latent.
+
+        1. Uncertainty-weighted InfoNCE aligning predicted next latents with
+           next encoded features (reference: pixel_agent.py:413-437).
+        2. SPR-style forward regression ``||dyn(z_t, a) - sg(z_{t+1})||^2``
+           with gradients into the encoder/posterior through ``z_t`` — the
+           velocity pressure the round-5 probe showed was missing (the main
+           dynamics loss stop-gradients both sides, and InfoNCE is winnable
+           on position alone; docs/runs/pixel_probe_r5.json).
+        """
+        cfg = self.config
         pred_next, pred_logvar = self.core.predict_next_latent(
             params["dynamics"], latents, batch["actions"]
         )
-        pred_std = jnp.exp(0.5 * pred_logvar)
-        pred_norm = pred_next / (jnp.linalg.norm(pred_next, axis=-1, keepdims=True) + 1e-8)
-        target_norm = enc_next_obs / (
-            jnp.linalg.norm(enc_next_obs, axis=-1, keepdims=True) + 1e-8
-        )
-        uncertainty = 1.0 / (1.0 + jnp.mean(pred_std, axis=-1, keepdims=True))
-        logits = (pred_norm @ target_norm.T) / 0.1
-        weighted = logits * uncertainty
-        labels = jnp.arange(latents.shape[0])
-        log_probs = jax.nn.log_softmax(weighted, axis=-1)
-        loss = -jnp.mean(log_probs[labels, labels])
-        return self.config.contrastive_weight * loss, {"contrastive_loss": loss}
+        total = jnp.zeros(())
+        info: Dict[str, jnp.ndarray] = {}
+        if cfg.contrastive_weight:
+            pred_std = jnp.exp(0.5 * pred_logvar)
+            pred_norm = pred_next / (
+                jnp.linalg.norm(pred_next, axis=-1, keepdims=True) + 1e-8
+            )
+            target_norm = enc_next_obs / (
+                jnp.linalg.norm(enc_next_obs, axis=-1, keepdims=True) + 1e-8
+            )
+            uncertainty = 1.0 / (1.0 + jnp.mean(pred_std, axis=-1, keepdims=True))
+            logits = (pred_norm @ target_norm.T) / 0.1
+            weighted = logits * uncertainty
+            labels = jnp.arange(latents.shape[0])
+            log_probs = jax.nn.log_softmax(weighted, axis=-1)
+            loss = -jnp.mean(log_probs[labels, labels])
+            total = total + cfg.contrastive_weight * loss
+            info["contrastive_loss"] = loss
+        if cfg.latent_forward_weight:
+            # Target: the next acting latent, stop-gradiented (it is anchored
+            # to the observation by recon/KL, so no collapse route). Input
+            # side carries gradients: z_t (posterior(enc(o_t))) must encode
+            # everything that determines z_{t+1} — i.e. velocity.
+            fwd = jnp.mean(
+                (pred_next - jax.lax.stop_gradient(next_latents)) ** 2
+            )
+            total = total + cfg.latent_forward_weight * fwd
+            info["latent_forward_loss"] = fwd
+        return total, info
 
     # -- action selection -------------------------------------------------
 

@@ -270,6 +270,17 @@ class ActiveInferenceConfig:
     plan_candidates: int = 0
     plan_temperature: float = 0.0
     contrastive_weight: float = 0.5
+    # SPR-style latent forward-prediction regression (pixel agents):
+    # || dynamics(z_t, a_t) - sg(z_{t+1}) ||^2 with gradients flowing into
+    # the encoder/posterior through z_t. This is the temporal representation
+    # pressure the round-5 probe showed was missing: the main dynamics loss
+    # stop-gradients BOTH sides (state_agent.py fused loss), and InfoNCE at
+    # temperature 0.1 with batch negatives is winnable on position alone, so
+    # nothing forced velocity (theta_dot R^2 0.22 ~= random-init 0.18,
+    # docs/runs/pixel_probe_r5.json) into the acting latent. Regression to
+    # the next latent is NOT satisfiable without velocity: predicting
+    # theta_{t+1} requires theta_dot_t. 0 disables (pre-round-5 behavior).
+    latent_forward_weight: float = 0.0
     lambda_return: float = 0.95
     lambda_n_steps: int = 5
 

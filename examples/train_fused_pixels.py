@@ -326,10 +326,11 @@ def main():
             state, metrics = agent.train_epoch(
                 state, replay.state, ekey, args.updates_per_iter
             )
-            train_str = (
-                f" recon={float(metrics['reconstruction_loss']):.4f}"
-                f" contr={float(metrics['contrastive_loss']):.4f}"
-            )
+            train_str = f" recon={float(metrics['reconstruction_loss']):.4f}"
+            for tag, k in (("contr", "contrastive_loss"),
+                           ("fwd", "latent_forward_loss")):
+                if k in metrics:
+                    train_str += f" {tag}={float(metrics[k]):.4f}"
 
         dt = time.perf_counter() - t0
         steps_s = args.num_envs * args.steps_per_iter / dt

@@ -308,3 +308,71 @@ def test_pixel_recon_target_stopgrad_semantics(pixel_agent_and_state):
 
     assert SemanticsConfig(mode="corrected").pixel_recon_target_stopgrad
     assert not SemanticsConfig(mode="faithful").pixel_recon_target_stopgrad
+
+
+@pytest.fixture(scope="module")
+def forward_pixel_agent_and_state():
+    """Arm-F stack: contrastive off, SPR-style latent forward regression on,
+    posterior beliefs (the acting-latent path the round-5 probe measured)."""
+    cfg = ActiveInferenceConfig(
+        action_dim=2, latent_dim=8, hidden_dim=32, score_num_layers=1,
+        batch_size=4, efe_horizon=2, num_efe_trajectories=2,
+        num_ambiguity_samples=2, epistemic_update_every=2,
+        pixel_observation=True, posterior_beliefs=True,
+        contrastive_weight=0.0, latent_forward_weight=1.0,
+        diffusion=DiffusionConfig(num_diffusion_steps=3, beta_schedule="linear"),
+    )
+    cfg.tpu.donate_buffers = False
+    pcfg = PixelObservationConfig(
+        image_shape=(C, H, W), frame_stack=FRAME_STACK, random_shift_pad=2
+    )
+    tcfg = TrainingConfig(buffer_size=32, collect_diffusion_steps=2)
+    agent = DiffusionPixelAgent(
+        obs_shape=(FRAME_STACK, C, H, W), action_dim=2,
+        config=cfg, training_config=tcfg, pixel_config=pcfg,
+    )
+    state = agent.init_train_state(jax.random.PRNGKey(0))
+    return agent, state
+
+
+def test_latent_forward_loss_reported(forward_pixel_agent_and_state):
+    agent, state = forward_pixel_agent_and_state
+    batch = _pixel_batch(jax.random.PRNGKey(3))
+    _, metrics = agent.train_step(state, batch)
+    assert "latent_forward_loss" in metrics
+    assert "contrastive_loss" not in metrics  # weight 0 -> term skipped
+    assert np.isfinite(float(metrics["latent_forward_loss"]))
+
+
+def test_latent_forward_grads_reach_encoder(forward_pixel_agent_and_state):
+    """The point of the fix: the forward-regression term alone must push
+    gradient into the encoder+posterior through z_t (the main dynamics loss
+    stop-gradients both sides, so without this term the acting latent gets
+    zero predict-the-future pressure — round-5 velocity-blindness)."""
+    agent, state = forward_pixel_agent_and_state
+    batch = _pixel_batch(jax.random.PRNGKey(4))
+    key = jax.random.PRNGKey(5)
+
+    def fwd_only(sub):
+        p = dict(state.params)
+        p.update(sub)
+        enc_obs, enc_next = agent._encode_batch(p, batch, key, train=False)
+        z = agent.core.sample_posterior(
+            p["posterior"], key, jnp.concatenate([enc_obs, enc_next], 0),
+            deterministic=True,
+        )
+        lat, next_lat = jnp.split(z, 2, axis=0)
+        loss, info = agent._extra_score_loss(
+            p, batch, enc_obs, enc_next, lat, next_lat
+        )
+        assert "latent_forward_loss" in info
+        return loss
+
+    grads = jax.grad(fwd_only)(
+        {k: state.params[k] for k in ("encoder", "posterior")}
+    )
+    norm = lambda t: sum(
+        float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(t)
+    )
+    assert norm(grads["encoder"]) > 0.0
+    assert norm(grads["posterior"]) > 0.0
